@@ -1,0 +1,219 @@
+"""Deterministic synthetic interleaved text+media corpus.
+
+Produces the driver ``input_hint`` shape exactly:
+
+    documents(doc_id: string,
+              spans: list<struct<kind: string, text: string,
+                                 media_ref: string, offset: int32>>)
+
+plus the parallel gold-triple table (FIXTURES.md §5). Every document is a
+pure function of ``(seed, doc_id)`` — generation runs distributed as
+``ray.data.range(n).map_batches(...)`` and is reproducible under any
+partitioning. Anchor entities are drawn Zipf-style so hot-entity skew is
+real and the salted-key mitigation (stages/bags.py) is exercised.
+
+Media spans (kind != "text") are interleaved at seeded positions; they
+carry ``media_ref`` and empty text and must pass through every pipeline
+stage untouched (per-row span-sequence invariant).
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pyarrow as pa
+
+from .world import (DISTRACTOR_PHRASES, NOISE_SENTENCES, World, get_world)
+from .vocab import RELATIONS
+
+SPAN_STRUCT = pa.struct([
+    pa.field("kind", pa.string()),
+    pa.field("text", pa.string()),
+    pa.field("media_ref", pa.string()),
+    pa.field("offset", pa.int32()),
+])
+DOCUMENTS_SCHEMA = pa.schema([
+    pa.field("doc_id", pa.string()),
+    pa.field("spans", pa.list_(SPAN_STRUCT)),
+])
+
+PREFIXES = ["", "", "", "According to the filing ,",
+            "In a statement on Monday ,"]
+MEDIA_KINDS = ["image", "audio", "table"]
+PRONOUN_FEMALE_FIRSTS = {"Julie", "Margaret", "Elena", "Sofia", "Amara",
+                         "Ingrid", "Mei", "Priya", "Fatima", "Hannah"}
+
+
+def _pronoun(entity) -> str:
+    if entity.type == "ORGANIZATION":
+        return "It"
+    return "She" if entity.canonical.split()[0] in PRONOUN_FEMALE_FIRSTS \
+        else "He"
+
+
+def doc_plan(doc_id: int, world: World):
+    """The full deterministic plan for one document.
+
+    Returns ``(spans, gold)`` where ``spans`` is the ordered list of span
+    dicts (text + media interleaved) and ``gold`` the list of gold triple
+    dicts asserted by the text spans (subjects/objects canonicalized).
+    """
+    rng = random.Random((world.seed << 32) ^ (doc_id * 2654435761 % (1 << 61)))
+    n_ent = len(world.entities)
+    # Zipf-ish anchor choice → hot entities exist by construction
+    weights = [1.0 / (1 + ((doc_id * 31 + i) % n_ent)) for i in range(n_ent)]
+    anchor = rng.choices(world.entities, weights=weights, k=1)[0]
+
+    n_sent = rng.randint(2, 6)
+    sentences: list[str] = []       # realized text spans
+    gold: list[dict] = []
+    anchor_mentioned = False
+    facts = world.facts[anchor.canonical]
+
+    for si in range(n_sent):
+        roll = rng.random()
+        kind = ("fact" if roll < 0.6 and facts else
+                "coref" if roll < 0.7 and anchor_mentioned and facts else
+                "distract" if roll < 0.9 else "noise")
+        if kind == "noise":
+            sentences.append(rng.choice(NOISE_SENTENCES))
+            continue
+        if kind == "distract":
+            other = rng.choice(world.entities)
+            phrase = rng.choice(DISTRACTOR_PHRASES)
+            subj_surface = anchor.canonical
+            sentences.append(
+                f"{subj_surface} {phrase} {other.canonical} .")
+            anchor_mentioned = True
+            continue
+
+        rel_name, obj, obj_type = rng.choice(facts)
+        rel = RELATIONS[rel_name]
+        phrase = rng.choice(rel.phrases)
+        prefix = rng.choice(PREFIXES)
+
+        if kind == "coref":
+            subj_surface = _pronoun(anchor)
+        else:
+            use_alias = anchor.aliases and rng.random() < 0.2 \
+                and not rel_name.endswith("alternate_names")
+            subj_surface = rng.choice(anchor.aliases) if use_alias \
+                else anchor.canonical
+            anchor_mentioned = True
+
+        obj_surface = obj
+        obj_canonical = obj
+        obj_ent = world.by_name.get(obj)
+        if obj_ent is not None and obj_ent.aliases and rng.random() < 0.2 \
+                and not rel_name.endswith("alternate_names"):
+            obj_surface = rng.choice(obj_ent.aliases)
+
+        pieces = ([prefix] if prefix else []) + [subj_surface, phrase,
+                                                 obj_surface, "."]
+        sent = " ".join(pieces)
+        p = len(prefix.split()) if prefix else 0
+        subj_tok = len(subj_surface.split())
+        phr_tok = len(phrase.split())
+        obj_tok = len(obj_surface.split())
+        sentences.append(sent)
+        gold.append({
+            "subj": anchor.canonical,
+            "subj_type": anchor.type,
+            "pred": rel_name,
+            "obj": obj_canonical,
+            "obj_type": obj_type,
+            "doc_id": f"d{doc_id:09d}",
+            "sent_idx": len(sentences) - 1,
+            "subj_span": [p, p + subj_tok],
+            "obj_span": [p + subj_tok + phr_tok,
+                         p + subj_tok + phr_tok + obj_tok],
+        })
+
+    # interleave media spans at seeded positions
+    spans: list[dict] = []
+    offset = 0
+    n_media = rng.randint(0, 3)
+    media_pos = sorted(rng.sample(range(len(sentences) + 1),
+                                  min(n_media, len(sentences) + 1)))
+    mi = 0
+    for si, sent in enumerate(sentences):
+        while mi < len(media_pos) and media_pos[mi] == si:
+            mk = rng.choice(MEDIA_KINDS)
+            spans.append({"kind": mk, "text": "",
+                          "media_ref": f"media://d{doc_id:09d}/{mi}.{mk}",
+                          "offset": offset})
+            mi += 1
+        spans.append({"kind": "text", "text": sent,
+                      "media_ref": "", "offset": offset})
+        offset += len(sent) + 1
+    while mi < len(media_pos):
+        mk = rng.choice(MEDIA_KINDS)
+        spans.append({"kind": mk, "text": "",
+                      "media_ref": f"media://d{doc_id:09d}/{mi}.{mk}",
+                      "offset": offset})
+        mi += 1
+    return spans, gold
+
+
+def _docs_batch(batch: dict, seed: int) -> pa.Table:
+    world = get_world(seed)
+    ids = batch["id"]
+    doc_ids, span_lists = [], []
+    for did in ids.tolist() if isinstance(ids, np.ndarray) else list(ids):
+        spans, _ = doc_plan(int(did), world)
+        doc_ids.append(f"d{int(did):09d}")
+        span_lists.append(spans)
+    return pa.Table.from_arrays(
+        [pa.array(doc_ids, pa.string()),
+         pa.array(span_lists, pa.list_(SPAN_STRUCT))],
+        schema=DOCUMENTS_SCHEMA)
+
+
+def documents_dataset(n_docs: int, seed: int = 42, *,
+                      override_num_blocks: int | None = None):
+    """The interleaved corpus as a streaming ``ray.data.Dataset``."""
+    import ray.data as rd
+    ds = rd.range(n_docs, override_num_blocks=override_num_blocks)
+    return ds.map_batches(lambda b: _docs_batch(b, seed),
+                          batch_format="numpy", batch_size=2048)
+
+
+def _gold_batch(batch: dict, seed: int) -> pa.Table:
+    world = get_world(seed)
+    rows: list[dict] = []
+    ids = batch["id"]
+    for did in ids.tolist() if isinstance(ids, np.ndarray) else list(ids):
+        _, gold = doc_plan(int(did), world)
+        rows.extend(gold)
+    if not rows:
+        rows = []
+    return pa.Table.from_pylist(rows, schema=GOLD_SCHEMA)
+
+
+GOLD_SCHEMA = pa.schema([
+    ("subj", pa.string()), ("subj_type", pa.string()),
+    ("pred", pa.string()), ("obj", pa.string()),
+    ("obj_type", pa.string()), ("doc_id", pa.string()),
+    ("sent_idx", pa.int32()),
+    ("subj_span", pa.list_(pa.int32())),
+    ("obj_span", pa.list_(pa.int32())),
+])
+
+
+def gold_dataset(n_docs: int, seed: int = 42):
+    import ray.data as rd
+    ds = rd.range(n_docs)
+    return ds.map_batches(lambda b: _gold_batch(b, seed),
+                          batch_format="numpy", batch_size=2048)
+
+
+def gold_triple_set(n_docs: int, seed: int = 42) -> set:
+    """Distinct gold (subj, pred, obj) triples, driver-side (small)."""
+    world = get_world(seed)
+    out = set()
+    for did in range(n_docs):
+        _, gold = doc_plan(did, world)
+        for g in gold:
+            out.add((g["subj"], g["pred"], g["obj"]))
+    return out

@@ -1,0 +1,102 @@
+"""Scalar string / date helpers shared by the linker, dedup operators and
+consistency checks.
+
+Behavioral parity targets (no code copied): ``levenshtein`` mirrors
+``kbp/common/Utils.java:241-267``; ``is_acronym_of`` mirrors
+``kbp/entitylinking/AcronymMatcher.java:70-86``; ``strip_corporate``
+mirrors the suffix/determiner stripping of
+``kbp/entitylinking/EntityLinker.java:114-133``; ``approx_match_score``
+mirrors the token-overlap scoring of ``EntityLinker.java:293-330``
+(GaborsHackyBaseline: thresholds .49 PERSON / .79 ORGANIZATION).
+"""
+
+from __future__ import annotations
+
+import re
+
+CORPORATE_SUFFIXES = frozenset([
+    "corp", "corp.", "corporation", "inc", "inc.", "incorporated", "ltd",
+    "ltd.", "limited", "llc", "group", "holdings", "partners",
+    "foundation", "institute", "laboratories", "co", "co.", "company",
+])
+DETERMINERS = frozenset(["the", "a", "an"])
+YEAR_RE = re.compile(r"[12]\d\d\d")
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Edit distance (iterative two-row DP)."""
+    if a == b:
+        return 0
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def normalize_tokens(name: str) -> list[str]:
+    """Lowercase tokens with determiners / corporate suffixes stripped."""
+    toks = [t for t in name.lower().split() if t]
+    toks = [t for t in toks if t not in DETERMINERS]
+    while toks and toks[-1] in CORPORATE_SUFFIXES:
+        toks = toks[:-1]
+    return toks or [name.lower()]
+
+
+def is_acronym_of(short: str, long_name: str) -> bool:
+    """True iff ``short`` is the initialism of ``long_name``'s tokens."""
+    if not short.isupper() or len(short) < 2:
+        return False
+    toks = [t for t in long_name.split() if t and t[0].isalpha()]
+    return len(toks) >= 2 and short == "".join(t[0].upper() for t in toks)
+
+
+def approx_match_score(a: str, b: str,
+                       nicknames: dict[str, str] | None = None) -> float:
+    """Token-overlap similarity in [0, 1] between two surface forms.
+
+    Tokens match exactly, via the nickname map, or at edit distance ≤ 1
+    when both are length ≥ 5. Score = |matched| / max(|A|, |B|); acronym
+    pairs score 1.0.
+    """
+    if a == b:
+        return 1.0
+    if is_acronym_of(a, b) or is_acronym_of(b, a):
+        return 1.0
+    ta, tb = normalize_tokens(a), normalize_tokens(b)
+    if not ta or not tb:
+        return 0.0
+    nick = nicknames or {}
+
+    def tok_eq(x: str, y: str) -> bool:
+        if x == y or nick.get(x) == y or nick.get(y) == x:
+            return True
+        return (len(x) >= 5 and len(y) >= 5 and abs(len(x) - len(y)) <= 1
+                and levenshtein(x, y) <= 1)
+
+    used = [False] * len(tb)
+    matched = 0
+    for x in ta:
+        for j, y in enumerate(tb):
+            if not used[j] and tok_eq(x, y):
+                used[j] = True
+                matched += 1
+                break
+    return matched / max(len(ta), len(tb))
+
+
+def same_entity(a: str, b: str, entity_type: str,
+                nicknames: dict[str, str] | None = None) -> bool:
+    """Near-duplicate verdict with the reference's per-type thresholds."""
+    threshold = 0.49 if entity_type == "PERSON" else 0.79
+    return approx_match_score(a, b, nicknames) > threshold
+
+
+def extract_year(s: str) -> str | None:
+    m = YEAR_RE.search(s)
+    return m.group(0) if m else None

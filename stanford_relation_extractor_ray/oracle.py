@@ -1,0 +1,150 @@
+"""Reference-semantics oracle: a single-threaded, pure-Python
+re-implementation of the extraction pipeline (SURVEY.md §5 rebuild test
+plan). It shares the *vocabularies* (world, relation patterns) with the
+Ray pipeline but none of its execution machinery — mention detection,
+pairing, classification, linking, consistency are re-derived
+independently here with simple loops, so a pipeline bug cannot hide in
+shared code paths. Tests assert triple-set parity P/R ≥ 0.95.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .corpus import doc_plan
+from .functions.text import same_entity
+from .vocab import INCOMPATIBLE_RELATIONS, RELATIONS, SINGLE_RELATIONS, \
+    resolve_relation
+from .world import World, get_world
+
+_PRONOUNS = {"He": "PERSON", "She": "PERSON", "It": "ORGANIZATION"}
+
+
+class OracleExtractor:
+    def __init__(self, seed: int = 42):
+        self.world = get_world(seed)
+        self.lex = self.world.ner_lexicon()
+        self.surfaces = sorted(self.lex, key=len, reverse=True)
+        self.canon = {}
+        for ent in self.world.entities:
+            self.canon[(ent.canonical, ent.type)] = ent.canonical
+            for al in ent.aliases:
+                self.canon[(al, ent.type)] = ent.canonical
+        self.date_re = re.compile(
+            r"(?:January|February|March|April|May|June|July|August|"
+            r"September|October|November|December) \d{1,2} , \d{4}")
+        self.url_re = re.compile(r"www\.[a-z0-9.\-]+\.[a-z]{2,}")
+        self.num_re = re.compile(r"\b\d+\b")
+
+    def _sentence_mentions(self, sent: str):
+        """Greedy left-to-right longest-match scan over tokens."""
+        spans = []      # (char_a, char_b, surface, tag)
+        covered = [False] * len(sent)
+
+        def claim(a, b, surface, tag):
+            if any(covered[a:b]):
+                return
+            for i in range(a, b):
+                covered[i] = True
+            spans.append((a, b, surface, tag))
+
+        for m in self.url_re.finditer(sent):
+            claim(*m.span(), m.group(0), "URL")
+        for m in self.date_re.finditer(sent):
+            claim(*m.span(), m.group(0), "DATE")
+        for surf in self.surfaces:
+            start = 0
+            while True:
+                i = sent.find(surf, start)
+                if i < 0:
+                    break
+                # word boundaries
+                ok_l = i == 0 or sent[i - 1] == " "
+                j = i + len(surf)
+                ok_r = j == len(sent) or not (sent[j].isalnum())
+                if ok_l and ok_r:
+                    claim(i, j, surf, self.lex[surf])
+                start = i + 1
+        for m in self.num_re.finditer(sent):
+            claim(*m.span(), m.group(0), "NUMBER")
+        for pron, tag in _PRONOUNS.items():
+            for m in re.finditer(r"\b" + pron + r"\b", sent):
+                claim(*m.span(), pron, "PRON:" + tag)
+        spans.sort()
+        return spans
+
+    def extract_doc(self, doc_id: int):
+        spans, _ = doc_plan(doc_id, self.world)
+        triples = []
+        last = {}
+        for span in spans:
+            if span["kind"] != "text":
+                continue
+            sent = span["text"]
+            ments = self._sentence_mentions(sent)
+            resolved = []
+            for a, b, surf, tag in ments:
+                if tag.startswith("PRON:"):
+                    t = tag[5:]
+                    if t in last:
+                        resolved.append((a, b, last[t], t, True))
+                    continue
+                resolved.append((a, b, surf, tag, False))
+                if tag in ("PERSON", "ORGANIZATION"):
+                    last[tag] = surf
+            for i, (a1, b1, s1, t1, _p1) in enumerate(resolved):
+                if t1 not in ("PERSON", "ORGANIZATION"):
+                    continue
+                for j, (a2, b2, s2, t2, p2) in enumerate(resolved):
+                    if i == j or p2:
+                        continue
+                    if b1 > a2:     # subject must precede object (SO)
+                        continue
+                    between = sent[b1:a2].strip()
+                    rel = resolve_relation(between, t1, t2)
+                    if rel is None:
+                        continue
+                    subj = self.canon.get((s1, t1), s1)
+                    obj = s2 if rel.endswith("alternate_names") \
+                        else self.canon.get((s2, t2), s2)
+                    if subj != obj or rel.endswith("alternate_names"):
+                        triples.append((subj, t1, rel, obj, t2))
+        return triples
+
+    def extract(self, n_docs: int) -> set[tuple[str, str, str]]:
+        """Consistency-filtered distinct triple set over the corpus."""
+        raw: dict[tuple, int] = {}
+        for d in range(n_docs):
+            for t in self.extract_doc(d):
+                raw[t] = raw.get(t, 0) + 1
+        per_entity: dict[str, list] = {}
+        for (subj, st, rel, obj, ot), cnt in raw.items():
+            per_entity.setdefault(subj, []).append(
+                (cnt, subj, st, rel, obj, ot))
+        out = set()
+        for subj, rows in per_entity.items():
+            rows.sort(key=lambda r: (-r[0], r[4].count(" "), r[4], r[3]))
+            accepted = []
+            for cnt, s, st, rel, obj, ot in rows:
+                spec = RELATIONS[rel]
+                if ot not in spec.slot_types or spec.entity_type != st:
+                    continue
+                ok = True
+                for _, _, _, arel, aobj, aot in accepted:
+                    if arel == rel:
+                        if rel in SINGLE_RELATIONS:
+                            ok = False
+                            break
+                        if aobj == obj or (
+                                ot in ("PERSON", "ORGANIZATION")
+                                and same_entity(aobj, obj, ot)):
+                            ok = False
+                            break
+                    elif aobj == obj and frozenset((arel, rel)) in \
+                            INCOMPATIBLE_RELATIONS:
+                        ok = False
+                        break
+                if ok:
+                    accepted.append((cnt, s, st, rel, obj, ot))
+                    out.add((s, rel, obj))
+        return out

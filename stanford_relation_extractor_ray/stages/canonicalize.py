@@ -1,0 +1,216 @@
+"""Surface-form canonicalization and graph materialization.
+
+Ray-Data shape of the reference's entity merging
+(``GraphConsistencyPostProcessors.java:53-131`` — all-pairs linking →
+equivalence classes → representative → merge edges; SURVEY.md §2.8):
+
+1. **Blocking** (shuffle): every distinct entity surface gets a block key
+   (its alphabetically-first normalized token, plus acronym expansion
+   blocks) and a ``groupby(block)`` runs pairwise linker scoring ONLY
+   within blocks — never corpus-wide all-pairs.
+2. **Union-find on the driver** over the tiny candidate same-entity edge
+   list (pairs that pass the linker threshold) — the merge graph is
+   orders of magnitude smaller than the corpus, so driver-side
+   union-find is the scalable choice (SURVEY.md §7.2 step 7).
+3. **Canonical map broadcast** (``ray.put``) and applied per batch;
+   edges merged per canonical triple with noisy-or scores
+   (MAX/NOISY_OR merge strategies,
+   ``GraphConsistencyPostProcessors.java:201-229``). Losing surface
+   forms become node aliases (alternate names).
+
+Representative = highest total incoming fill score, tie-broken by
+longest then lexicographically-smallest name (the reference picks by
+entity priority = sum of incoming scores,
+``GraphConsistencyPostProcessors.java:68-77``).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pyarrow as pa
+
+from ..functions.text import is_acronym_of, normalize_tokens, same_entity
+from ..schemas import EDGES_SCHEMA, FILLS_SCHEMA, NODES_SCHEMA
+from .classify import combine_fills
+
+ENTITY_TYPES = ("PERSON", "ORGANIZATION")
+
+
+def _entity_id(name: str, etype: str) -> str:
+    return f"e{zlib.crc32(f'{name}|{etype}'.encode()):08x}"
+
+
+def _blocks_of(name: str) -> list[str]:
+    toks = normalize_tokens(name)
+    blocks = [min(toks)]
+    if name.isupper() and len(name) <= 6:      # acronym → block per letter
+        blocks.append(name[0].lower())
+    return blocks
+
+
+def _surface_table(fills) -> pa.Table:
+    """Distinct (name, type, weight) over subjects + entity-typed objects
+    — computed distributed with an in-batch partial aggregate, then a
+    small groupby (pre-aggregation pattern)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg: dict[tuple[str, str], float] = {}
+        for col, tcol in (("subj", "subj_type"), ("obj", "obj_type")):
+            names = batch.column(col).to_pylist()
+            types = batch.column(tcol).to_pylist()
+            scores = batch.column("score").to_pylist()
+            for n, t, s in zip(names, types, scores):
+                if t in ENTITY_TYPES:
+                    agg[(n, t)] = agg.get((n, t), 0.0) + s
+        ks = list(agg)
+        return pa.table({
+            "name": pa.array([k[0] for k in ks], pa.string()),
+            "type": pa.array([k[1] for k in ks], pa.string()),
+            "weight": pa.array([agg[k] for k in ks], pa.float64())})
+
+    from ray.data.aggregate import Sum
+    return (fills.map_batches(partial, batch_format="pyarrow")
+            .groupby(["name", "type"])
+            .aggregate(Sum("weight", alias_name="weight")))
+
+
+def _pairs_in_block(group: pa.Table) -> pa.Table:
+    """Pairwise linker scoring within one block → same-entity pairs."""
+    names = group.column("name").to_pylist()
+    types = group.column("type").to_pylist()
+    out_a, out_b, out_t = [], [], []
+    order = sorted(range(len(names)), key=lambda i: (names[i], types[i]))
+    for ii in range(len(order)):
+        i = order[ii]
+        for jj in range(ii + 1, len(order)):
+            j = order[jj]
+            if types[i] != types[j] or names[i] == names[j]:
+                continue
+            if same_entity(names[i], names[j], types[i]) \
+                    or is_acronym_of(names[i], names[j]) \
+                    or is_acronym_of(names[j], names[i]):
+                out_a.append(names[i])
+                out_b.append(names[j])
+                out_t.append(types[i])
+    return pa.table({"a": pa.array(out_a, pa.string()),
+                     "b": pa.array(out_b, pa.string()),
+                     "type": pa.array(out_t, pa.string())})
+
+
+def canonical_map(fills) -> tuple[dict, dict]:
+    """→ (canonical_map {(name,type) → representative}, weights).
+
+    Blocking groupby + pairwise linking distributed; union-find over the
+    resulting (small) same-entity edge list on the driver.
+    """
+    surfaces = _surface_table(fills)
+
+    def explode_blocks(batch: pa.Table) -> pa.Table:
+        names = batch.column("name").to_pylist()
+        types = batch.column("type").to_pylist()
+        bn, bt, bb = [], [], []
+        for n, t in zip(names, types):
+            for blk in _blocks_of(n):
+                bn.append(n)
+                bt.append(t)
+                bb.append(f"{t}:{blk}")
+        return pa.table({"name": pa.array(bn, pa.string()),
+                         "type": pa.array(bt, pa.string()),
+                         "block": pa.array(bb, pa.string())})
+
+    pairs = (surfaces.map_batches(explode_blocks, batch_format="pyarrow")
+             .groupby("block").map_groups(_pairs_in_block,
+                                          batch_format="pyarrow"))
+    pair_rows = pairs.take_all()            # same-entity edges: tiny
+    weights = {(r["name"], r["type"]): r["weight"]
+               for r in surfaces.take_all()}
+
+    parent: dict[tuple, tuple] = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for r in sorted(pair_rows, key=lambda r: (r["type"], r["a"], r["b"])):
+        a, b = (r["a"], r["type"]), (r["b"], r["type"])
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    clusters: dict[tuple, list[tuple]] = {}
+    for key in weights:
+        clusters.setdefault(find(key), []).append(key)
+    cmap: dict[tuple, str] = {}
+    for members in clusters.values():
+        rep = max(members,
+                  key=lambda k: (weights.get(k, 0.0), len(k[0]),
+                                 [-ord(c) for c in k[0]]))
+        for m in members:
+            cmap[m] = rep[0]
+    return cmap, weights
+
+
+def apply_canonical(fills, cmap_ref):
+    """Broadcast the canonical map; rewrite subj/obj per batch."""
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        import ray
+        cmap = ray.get(cmap_ref) if hasattr(cmap_ref, "hex") else cmap_ref
+        cols = {n: batch.column(n).to_pylist()
+                for n in batch.column_names}
+        cols["subj"] = [cmap.get((n, t), n) for n, t in
+                        zip(cols["subj"], cols["subj_type"])]
+        cols["obj"] = [cmap.get((n, t), n) if t in ENTITY_TYPES
+                       and not p.endswith("alternate_names") else n
+                       for n, t, p in zip(cols["obj"], cols["obj_type"],
+                                          cols["pred"])]
+        return pa.Table.from_arrays(
+            [pa.array(cols[n], t) for n, t in
+             zip(FILLS_SCHEMA.names, FILLS_SCHEMA.types)],
+            schema=FILLS_SCHEMA)
+
+    return fills.map_batches(rewrite, batch_format="pyarrow")
+
+
+def materialize_graph(fills, cmap: dict):
+    """consistent fills + canonical map → (nodes_ds, edges_ds)."""
+    import ray
+
+    cmap_ref = ray.put(cmap)
+    merged = combine_fills(apply_canonical(fills, cmap_ref))
+
+    # nodes: canonical entities with merged-loser aliases
+    aliases: dict[tuple, set] = {}
+    for (name, etype), rep in cmap.items():
+        aliases.setdefault((rep, etype), set())
+        if name != rep:
+            aliases[(rep, etype)].add(name)
+    node_rows = sorted(aliases)
+    nodes = pa.Table.from_arrays(
+        [pa.array([_entity_id(n, t) for n, t in node_rows], pa.string()),
+         pa.array([n for n, _ in node_rows], pa.string()),
+         pa.array([t for _, t in node_rows], pa.string()),
+         pa.array([sorted(aliases[k]) for k in node_rows],
+                  pa.list_(pa.string()))],
+        schema=NODES_SCHEMA)
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        cols = {n: batch.column(n).to_pylist() for n in batch.column_names}
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [pa.array([_entity_id(cols["subj"][i], cols["subj_type"][i])
+                       for i in range(n)], pa.string()),
+             batch.column("subj"), batch.column("subj_type"),
+             batch.column("pred"),
+             pa.array([_entity_id(cols["obj"][i], cols["obj_type"][i])
+                       if cols["obj_type"][i] in ENTITY_TYPES else ""
+                       for i in range(n)], pa.string()),
+             batch.column("obj"), batch.column("obj_type"),
+             batch.column("score"),
+             batch.column("doc_id"), batch.column("sent_idx")],
+            schema=EDGES_SCHEMA)
+
+    edges = merged.map_batches(to_edges, batch_format="pyarrow")
+    return nodes, edges

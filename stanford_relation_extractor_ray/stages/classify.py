@@ -1,0 +1,201 @@
+"""Relation classification: bags → scored slot fills.
+
+Ray-Data shape of the reference's classifier ensemble
+(``kbp/slotfilling/classify/``): ONE actor pool holds every component
+model and emits the combined score in a single pass over the bags
+dataset — the reference likewise calls component models sequentially
+in-process (``EnsembleRelationExtractor.java:265-278``), and a single
+combined actor avoids per-model shuffles (SURVEY.md §2.4 RD note).
+
+Components:
+- **PatternScorer** — the TokensRegex/Semgrex analog
+  (``TokensRegexExtractor.java:66-``, ``HeuristicRelationExtractor.java:38-86``):
+  connector-phrase match (vocab.resolve_relation) per sentence; pattern
+  hits effectively always win (reference scores them +∞; we use 0.95 per
+  sentence under noisy-or).
+- **LRScorer** — the MIML-RE stand-in (``JointBayesRelationExtractor
+  .java:2009-2130`` semantics, local/Mintz++ variant): per-sentence Z =
+  multinomial LR over hashed features, bag-level aggregation = noisy-or
+  per relation (the reference's NOISY_OR output mode).
+- **Ensemble combine** (``EnsembleRelationExtractor.java:281-333``):
+  AGREE_ANY over components with noisy-or score combine
+  ``1 − ∏(1−wᵢ)``; provenance from the highest-scoring agreeing
+  sentence.
+
+Salted partial bags are merged *after* classification by a cheap
+per-triple noisy-or (``combine_fills``) — an intentional departure from
+re-assembling giant bags, correct because both the pattern scorer and
+the noisy-or aggregation distribute over bag partitions.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..schemas import FILLS_SCHEMA
+from ..vocab import RELATIONS, resolve_relation
+
+PATTERN_SENT_SCORE = 0.95
+LR_MIN_PROB = 0.5
+LR_WEIGHT = 0.6          # ensemble weight of the LR component
+HASH_DIM = 1 << 15
+NO_RELATION = "no_relation"
+
+
+def hash_features(features: list[str], dim: int = HASH_DIM) -> np.ndarray:
+    """Stable feature hashing (crc32 — deterministic across processes)."""
+    return np.fromiter(
+        (zlib.crc32(f.encode()) % dim for f in features),
+        dtype=np.int64, count=len(features))
+
+
+class LRModel:
+    """Multinomial LR over hashed features (numpy; trained in
+    pipelines/train.py). ``labels[0]`` must be NO_RELATION."""
+
+    def __init__(self, weights: np.ndarray, bias: np.ndarray,
+                 labels: list[str]):
+        self.W = weights.astype(np.float32)          # [dim, n_labels]
+        self.b = bias.astype(np.float32)
+        self.labels = labels
+
+    def predict_proba(self, feat_lists: list[list[str]]) -> np.ndarray:
+        """[n_sentences, n_labels] softmax probabilities."""
+        logits = np.tile(self.b, (len(feat_lists), 1))
+        for i, feats in enumerate(feat_lists):
+            idx = hash_features(feats)
+            logits[i] += self.W[idx].sum(axis=0)
+        logits -= logits.max(axis=1, keepdims=True)
+        p = np.exp(logits)
+        p /= p.sum(axis=1, keepdims=True)
+        return p
+
+    def to_dict(self):
+        return {"weights": self.W, "bias": self.b,
+                "labels": np.array(self.labels)}
+
+    @classmethod
+    def from_dict(cls, d):
+        return cls(d["weights"], d["bias"], [str(x) for x in d["labels"]])
+
+
+class EnsembleScorer:
+    """Actor-pool batch transform: bags table → fills table."""
+
+    def __init__(self, model_ref=None):
+        self.lr: LRModel | None = None
+        if model_ref is not None:
+            import ray
+            d = ray.get(model_ref) if hasattr(model_ref, "hex") \
+                else model_ref
+            if d is not None:
+                self.lr = LRModel.from_dict(d)
+
+    def _score_bag(self, subj_type, obj_type, sent_features):
+        """→ {relation: (noisy_or_score, best_sent_i, best_sent_score)}"""
+        per_rel: dict[str, list[tuple[int, float]]] = {}
+        # component 1: pattern matches per sentence
+        for i, feats in enumerate(sent_features):
+            if f"order:SO" not in feats:
+                continue
+            between = next((f[8:] for f in feats
+                            if f.startswith("between:")), "")
+            rel = resolve_relation(between, subj_type, obj_type)
+            if rel is None and between.startswith(", "):
+                rel = resolve_relation("," + between[1:], subj_type,
+                                       obj_type)
+            if rel is not None:
+                per_rel.setdefault(rel, []).append(
+                    (i, PATTERN_SENT_SCORE))
+        # component 2: LR per-sentence Z probabilities
+        if self.lr is not None:
+            probs = self.lr.predict_proba(sent_features)
+            z = probs.argmax(axis=1)
+            for i, (zi, row) in enumerate(zip(z, probs)):
+                rel = self.lr.labels[zi]
+                if rel == NO_RELATION or row[zi] < LR_MIN_PROB:
+                    continue
+                spec = RELATIONS.get(rel)
+                if spec is None or obj_type not in spec.slot_types:
+                    continue
+                per_rel.setdefault(rel, []).append(
+                    (i, float(row[zi]) * LR_WEIGHT))
+        out = {}
+        for rel, hits in per_rel.items():
+            score = 1.0
+            best_i, best_s = hits[0]
+            for i, s in hits:
+                score *= (1.0 - s)
+                if s > best_s:
+                    best_i, best_s = i, s
+            out[rel] = (1.0 - score, best_i, best_s)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = {n: batch.column(n).to_pylist()
+                for n in batch.column_names}
+        out: dict[str, list] = {n: [] for n in FILLS_SCHEMA.names}
+        for r in range(batch.num_rows):
+            subj_type = cols["subj_type"][r]
+            obj_type = cols["obj_type"][r]
+            scored = self._score_bag(subj_type, obj_type,
+                                     cols["sent_features"][r])
+            for rel, (score, best_i, _s) in scored.items():
+                out["subj"].append(cols["subj"][r])
+                out["subj_type"].append(subj_type)
+                out["pred"].append(rel)
+                out["obj"].append(cols["obj"][r])
+                out["obj_type"].append(obj_type)
+                out["score"].append(score)
+                out["doc_id"].append(cols["prov_doc_id"][r][best_i])
+                out["sent_idx"].append(cols["prov_sent_idx"][r][best_i])
+                out["subj_span"].append(
+                    [cols["prov_subj_begin"][r][best_i],
+                     cols["prov_subj_end"][r][best_i]])
+                out["obj_span"].append(
+                    [cols["prov_obj_begin"][r][best_i],
+                     cols["prov_obj_end"][r][best_i]])
+        return pa.Table.from_arrays(
+            [pa.array(out[n], t) for n, t in
+             zip(FILLS_SCHEMA.names, FILLS_SCHEMA.types)],
+            schema=FILLS_SCHEMA)
+
+
+def classify(bags, *, model_ref=None, concurrency=(1, 8),
+             batch_size: int = 1024):
+    return bags.map_batches(
+        EnsembleScorer, fn_constructor_kwargs={"model_ref": model_ref},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+def _merge_fill_group(group: pa.Table) -> pa.Table:
+    """Noisy-or merge of one triple's fills across salted partial bags."""
+    scores = group.column("score").to_pylist()
+    merged = 1.0
+    for s in scores:
+        merged *= (1.0 - s)
+    merged = 1.0 - merged
+    best = max(range(len(scores)),
+               key=lambda i: (scores[i],
+                              group.column("doc_id")[i].as_py(),
+                              -group.column("sent_idx")[i].as_py()))
+    row = group.slice(best, 1)
+    arrays = []
+    for name in FILLS_SCHEMA.names:
+        if name == "score":
+            arrays.append(pa.array([merged], pa.float64()))
+        else:
+            arrays.append(row.column(name))
+    return pa.Table.from_arrays(arrays, schema=FILLS_SCHEMA)
+
+
+def combine_fills(fills):
+    """Per-triple combine across salted bags (tiny groups; shuffle on the
+    already-aggregated fills table, far smaller than the bag shuffle)."""
+    return fills.groupby(["subj", "subj_type", "pred", "obj",
+                          "obj_type"]).map_groups(
+        _merge_fill_group, batch_format="pyarrow")

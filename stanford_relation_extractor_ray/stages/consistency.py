@@ -1,0 +1,85 @@
+"""Per-entity greedy consistency: fills → consistent fills.
+
+Ray-Data shape of the reference's consistency engine (SURVEY.md §2.9,
+``HeuristicSlotfillPostProcessor.java:68-114`` filterStep +
+``HeuristicSlotfillPostProcessors.java`` filter/rewrite chain): entirely
+per-entity, so ``ds.groupby("subj").map_groups(...)`` — embarrassingly
+parallel, deterministic given the comparator.
+
+Greedy pass: sort the entity's fills by (score desc, obj token count
+asc, obj asc, pred asc) — the reference's ``KBPSlotFill.compareTo``
+(score desc, token-length tiebreak, ``kbp/common/KBPSlotFill.java:69-91``)
+with lexicographic tie-breaks pinned where the Java leaves order
+unspecified (SURVEY.md §7.4). Accept one fill at a time iff every check
+passes against the already-accepted set:
+
+- RespectRelationTypes (NER validity per relation,
+  ``HeuristicSlotfillPostProcessors.java:47``)
+- SanityCheck: subj != obj, non-empty value
+- NoDuplicates (exact) + NoDuplicatesApproximate (near-dup slot values
+  via linker scoring, ``:655-739``)
+- DuplicateRelationOnlyInListRelations (one value per SINGLE-cardinality
+  relation, ``:742-754``)
+- RespectDeclaredIncompatibilities (pairwise, ``:766-``)
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.text import same_entity
+from ..schemas import FILLS_SCHEMA
+from ..vocab import INCOMPATIBLE_RELATIONS, RELATIONS, SINGLE_RELATIONS
+
+
+def _value_dup(a: str, b: str, obj_type: str) -> bool:
+    if a == b or a.lower() == b.lower():
+        return True
+    if obj_type in ("PERSON", "ORGANIZATION"):
+        return same_entity(a, b, obj_type)
+    return False
+
+
+def consistent_group(group: pa.Table) -> pa.Table:
+    rows = [dict(zip(group.column_names, vals))
+            for vals in zip(*(group.column(c).to_pylist()
+                              for c in group.column_names))]
+    rows.sort(key=lambda r: (-r["score"], r["obj"].count(" "),
+                             r["obj"], r["pred"]))
+    accepted: list[dict] = []
+    for r in rows:
+        spec = RELATIONS.get(r["pred"])
+        if spec is None:
+            continue
+        if r["obj_type"] not in spec.slot_types \
+                or spec.entity_type != r["subj_type"]:
+            continue
+        if not r["obj"] or r["obj"] == r["subj"]:
+            continue
+        ok = True
+        for a in accepted:
+            if a["pred"] == r["pred"]:
+                if r["pred"] in SINGLE_RELATIONS:
+                    ok = False
+                    break
+                if _value_dup(a["obj"], r["obj"], r["obj_type"]):
+                    ok = False
+                    break
+            elif a["obj"] == r["obj"] and frozenset(
+                    (a["pred"], r["pred"])) in INCOMPATIBLE_RELATIONS:
+                ok = False
+                break
+        if ok:
+            accepted.append(r)
+    if not accepted:
+        return FILLS_SCHEMA.empty_table()
+    return pa.Table.from_arrays(
+        [pa.array([a[n] for a in accepted], t)
+         for n, t in zip(FILLS_SCHEMA.names, FILLS_SCHEMA.types)],
+        schema=FILLS_SCHEMA)
+
+
+def enforce(fills):
+    """fills Dataset → consistent fills Dataset (per-entity groups)."""
+    return fills.groupby("subj").map_groups(consistent_group,
+                                            batch_format="pyarrow")

@@ -1,0 +1,120 @@
+"""Entity linking: map observed surface forms to canonical entities.
+
+Ray-Data shape of the reference's entity linker
+(``kbp/entitylinking/EntityLinker.java:293-330`` token-overlap scoring,
+``WikidictEntityLinker.java:79-126`` alias index, nickname maps
+``EntityLinker.java:51-55``, acronyms ``AcronymMatcher.java:70-86``): a
+**stateful actor pool** whose per-actor state is the broadcast alias
+dictionary — ``ray.put`` once on the driver, ``ray.get`` once per actor
+in ``__init__`` (NOT per batch), token-blocked candidate scoring per
+unknown surface with a per-actor memo cache.
+
+Subjects (always PERSON/ORGANIZATION) and PERSON/ORGANIZATION slot
+values are canonicalized; other slot types pass through unchanged.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.text import approx_match_score, is_acronym_of, \
+    normalize_tokens
+from ..world import NICKNAMES, get_world
+
+
+def build_alias_ref(seed: int = 42):
+    """Driver-side: broadcast the alias table once (``ray.put``)."""
+    import ray
+    return ray.put(get_world(seed).alias_table())
+
+
+class EntityLinker:
+    """Actor-pool batch transform canonicalizing candidate rows."""
+
+    THRESHOLDS = {"PERSON": 0.49, "ORGANIZATION": 0.79}
+
+    def __init__(self, aliases_ref=None, seed: int = 42):
+        if aliases_ref is not None:
+            import ray
+            alias_rows = ray.get(aliases_ref)
+        else:
+            alias_rows = get_world(seed).alias_table()
+        self.exact: dict[tuple[str, str], str] = {}
+        self.by_token: dict[str, set[str]] = {}
+        self.types: dict[str, str] = {}
+        world = get_world(seed)
+        for surface, canonical, _score in alias_rows:
+            ent = world.by_name.get(canonical)
+            etype = ent.type if ent else "ORGANIZATION"
+            self.exact[(surface, etype)] = canonical
+            self.types[canonical] = etype
+            for tok in normalize_tokens(surface):
+                self.by_token.setdefault(tok, set()).add(canonical)
+        self.nicknames = {v.lower(): k.lower()
+                          for k, v in NICKNAMES.items()}
+        self._memo: dict[tuple[str, str], str] = {}
+
+    def resolve(self, surface: str, etype: str) -> str:
+        hit = self.exact.get((surface, etype))
+        if hit is not None:
+            return hit
+        key = (surface, etype)
+        memo = self._memo.get(key)
+        if memo is not None:
+            return memo
+        # token/acronym blocking → candidate set → overlap scoring
+        cands: set[str] = set()
+        for tok in normalize_tokens(surface):
+            cands |= self.by_token.get(tok, set())
+            nick = self.nicknames.get(tok)
+            if nick:
+                cands |= self.by_token.get(nick, set())
+        if surface.isupper():
+            cands |= {c for toks in (surface,) for c in self.types
+                      if is_acronym_of(surface, c)}
+        best, best_score = surface, self.THRESHOLDS.get(etype, 0.79)
+        for cand in sorted(cands):
+            if self.types.get(cand) != etype:
+                continue
+            s = approx_match_score(surface, cand, self.nicknames)
+            if s > best_score or (s == best_score and best != surface
+                                  and cand < best):
+                best, best_score = cand, s
+        self._memo[key] = best
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """Canonicalize subjects always; canonicalize PERSON/ORG objects
+        only when a ``pred`` column is present (i.e. post-classification,
+        mirroring the reference's postprocessing-time linking) and the
+        relation is not ``*:alternate_names`` — an alternate-name value IS
+        the alias and must stay a surface form.
+        """
+        subj = batch.column("subj").to_pylist()
+        subj_t = batch.column("subj_type").to_pylist()
+        new_subj = [self.resolve(s, t) for s, t in zip(subj, subj_t)]
+        cols = {n: batch.column(n) for n in batch.column_names}
+        cols["subj"] = pa.array(new_subj, pa.string())
+        if "pred" in cols:
+            obj = batch.column("obj").to_pylist()
+            obj_t = batch.column("obj_type").to_pylist()
+            pred = batch.column("pred").to_pylist()
+            new_obj = [
+                self.resolve(o, t)
+                if t in ("PERSON", "ORGANIZATION")
+                and not p.endswith("alternate_names") else o
+                for o, t, p in zip(obj, obj_t, pred)]
+            cols["obj"] = pa.array(new_obj, pa.string())
+        return pa.Table.from_arrays(list(cols.values()),
+                                    names=list(cols.keys()))
+
+
+def link(ds, *, aliases_ref=None, seed: int = 42,
+         concurrency=(1, 8), batch_size: int = 4096):
+    """Link a candidates dataset (subjects) or a fills dataset
+    (subjects + objects; detected via the ``pred`` column)."""
+    return ds.map_batches(
+        EntityLinker,
+        fn_constructor_kwargs={"aliases_ref": aliases_ref, "seed": seed},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)

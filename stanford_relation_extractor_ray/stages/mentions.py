@@ -1,0 +1,89 @@
+"""Relation-mention pairing: sentences → candidate (entity, slot) rows.
+
+Ray-Data shape of the reference's EntityMention / SlotMention /
+RelationMention annotators (``kbp/slotfilling/process/
+EntityMentionAnnotator.java:49-132``, ``SlotMentionAnnotator.java:83-272``,
+``RelationMentionAnnotator.java:95-296`` ALL_PAIRS mode): a stateless
+``map_batches`` that emits one output row per (entity mention, slot
+mention) pair — a vectorized flat_map.
+
+Semantics preserved:
+- entity mentions are PERSON/ORGANIZATION (pronouns resolved to their
+  antecedent surface);
+- slot mentions are every typed mention, including PERSON/ORGANIZATION
+  (ALL_PAIRS, RelationMentionAnnotator.java:214-222);
+- a distance gate drops pairs further apart than MAX_DISTANCE tokens
+  (Utils.closeEnough, kbp/common/Utils.java:353-365);
+- at most one candidate per (subj, obj) pair per sentence, keeping the
+  nearest-span pair (extractedPairs dedup,
+  RelationMentionAnnotator.java:109,177-183).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..schemas import CANDIDATES_SCHEMA
+
+MAX_DISTANCE = 12
+
+
+def pair_mentions(batch: pa.Table) -> pa.Table:
+    doc_ids = batch.column("doc_id").to_pylist()
+    sent_idxs = batch.column("sent_idx").to_pylist()
+    texts = batch.column("text").to_pylist()
+    mentions_col = batch.column("mentions").to_pylist()
+
+    cols: dict[str, list] = {n: [] for n in CANDIDATES_SCHEMA.names}
+    for doc_id, sent_idx, text, mentions in zip(
+            doc_ids, sent_idxs, texts, mentions_col):
+        if not mentions or len(mentions) < 2:
+            continue
+        tokens = text.split(" ")
+        best: dict[tuple, tuple] = {}
+        for em in mentions:
+            if em["ner"] not in ("PERSON", "ORGANIZATION"):
+                continue
+            subj_surface = em["antecedent"] or em["surface"]
+            for sm in mentions:
+                if sm is em or sm["antecedent"]:
+                    continue                      # slot can't be a pronoun
+                if not (em["end"] <= sm["begin"] or sm["end"] <= em["begin"]):
+                    continue                      # overlapping spans
+                if em["end"] <= sm["begin"]:
+                    gap = sm["begin"] - em["end"]
+                else:
+                    gap = em["begin"] - sm["end"]
+                if gap > MAX_DISTANCE:
+                    continue
+                key = (subj_surface, sm["surface"])
+                prev = best.get(key)
+                if prev is not None and prev[0] <= gap:
+                    continue
+                lo, hi = ((em["end"], sm["begin"])
+                          if em["end"] <= sm["begin"]
+                          else (sm["end"], em["begin"]))
+                between = " ".join(tokens[lo:hi])
+                best[key] = (gap, em, sm, subj_surface, between)
+        for gap, em, sm, subj_surface, between in best.values():
+            cols["subj"].append(subj_surface)
+            cols["subj_type"].append(em["ner"])
+            cols["obj"].append(sm["surface"])
+            cols["obj_type"].append(sm["ner"])
+            cols["doc_id"].append(doc_id)
+            cols["sent_idx"].append(sent_idx)
+            cols["subj_begin"].append(em["begin"])
+            cols["subj_end"].append(em["end"])
+            cols["obj_begin"].append(sm["begin"])
+            cols["obj_end"].append(sm["end"])
+            cols["between"].append(between)
+    return pa.Table.from_arrays(
+        [pa.array(cols[n], t) for n, t in
+         zip(CANDIDATES_SCHEMA.names, CANDIDATES_SCHEMA.types)],
+        schema=CANDIDATES_SCHEMA)
+
+
+def pair(sentences, *, batch_size: int = 1024):
+    """sentences Dataset → candidates Dataset (stateless tasks)."""
+    return sentences.map_batches(pair_mentions, batch_format="pyarrow",
+                                 batch_size=batch_size)
