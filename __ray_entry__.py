@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship KG-construction pipeline on the sf0.001
+deterministic corpus; ``queries()`` exposes one callable per implemented
+operator family from SURVEY.md §2 (plus the large-scale data-pipeline
+operators: dedup suite, similarity search, text analysis);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible query. Ray is initialised by the caller — nothing here
+calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +14,367 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """KG construction over the deterministic interleaved corpus
+    (documents → triples → consistency); returns the fills table."""
+    from stanford_relation_extractor_ray.corpus import documents_dataset
+    from stanford_relation_extractor_ray.pipelines.kg import (
+        extract_fills, finalize_fills)
+    fills = extract_fills(documents_dataset(200))
+    return finalize_fills(fills).materialize()
+
+
+# --------------------------------------------------------------------------
+# query helpers
+# --------------------------------------------------------------------------
+
+def _round_col(ds, col: str, digits: int):
+    def f(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index(col)
+        return batch.set_column(
+            i, col, pc.round(batch.column(col), ndigits=digits))
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _docs_with_id_text(sf_dir: str):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+
+def _q_kg_triples(sf_dir: str):
+    """Scaled KG run: n_docs keyed off the scale factor dir name."""
+    from stanford_relation_extractor_ray.corpus import documents_dataset
+    from stanford_relation_extractor_ray.pipelines.kg import (
+        extract_fills, finalize_fills)
+    n = 2000 if "0.01" in sf_dir else (200 if "0.001" in sf_dir
+                                       else 20000)
+    fills = finalize_fills(extract_fills(documents_dataset(n)))
+    return fills.sort(["subj", "pred", "obj"]) \
+        .select_columns(["subj", "subj_type", "pred", "obj", "obj_type",
+                         "doc_id", "sent_idx"])
+
+
+def _q_kg_graph_nodes(sf_dir: str):
+    from stanford_relation_extractor_ray.corpus import documents_dataset
+    from stanford_relation_extractor_ray.pipelines.kg import (
+        build_graph, extract_fills, finalize_fills)
+    n = 2000 if "0.01" in sf_dir else 200
+    fills = finalize_fills(extract_fills(documents_dataset(n))) \
+        .materialize()
+    nodes, _edges = build_graph(fills)
+    return nodes
+
+
+def _q_dedup_exact(sf_dir: str):
+    from stanford_relation_extractor_ray.stages.dedup import exact_dedup
+    return exact_dedup(_docs_with_id_text(sf_dir)).sort("doc_id")
+
+
+def _q_dedup_minhash(sf_dir: str):
+    from stanford_relation_extractor_ray.stages.dedup import \
+        minhash_lsh_pairs
+    pairs = minhash_lsh_pairs(_docs_with_id_text(sf_dir), k=3,
+                              num_perm=128, bands=64, threshold=0.5)
+    return _round_col(pairs, "jaccard", 6).sort(["id_a", "id_b"])
+
+
+def _q_dedup_jaccard(sf_dir: str):
+    import ray.data as rd
+    from stanford_relation_extractor_ray.stages.dedup import jaccard_pairs
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    pairs = jaccard_pairs(docs, block_cols=("lang",), k=3,
+                          threshold=0.5)
+    return _round_col(pairs, "jaccard", 6) \
+        .select_columns(["id_a", "id_b", "jaccard"]) \
+        .sort(["id_a", "id_b"])
+
+
+def _q_dedup_simhash(sf_dir: str):
+    from stanford_relation_extractor_ray.stages.dedup import simhash_pairs
+    return simhash_pairs(_docs_with_id_text(sf_dir), radius=3) \
+        .sort(["id_a", "id_b"])
+
+
+def _q_dedup_embedding(sf_dir: str):
+    import ray.data as rd
+    from stanford_relation_extractor_ray.stages.dedup import \
+        embedding_dup_pairs
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    pairs = embedding_dup_pairs(emb, threshold=0.5)
+    return _round_col(pairs, "cosine", 6).sort(["id_a", "id_b"])
+
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    idx = pc.index(t.column("vec_id"), 0).as_py()
+    return np.array(t.column("embedding")[idx].as_py(), dtype=np.float64)
+
+
+def _q_similarity_topk(sf_dir: str):
+    import ray.data as rd
+    from stanford_relation_extractor_ray.stages.similarity import \
+        topk_cosine
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return topk_cosine(emb, _query_vec(sf_dir), k=10)
+
+
+def _q_similarity_ivf(sf_dir: str):
+    import ray.data as rd
+    from stanford_relation_extractor_ray.stages.similarity import (
+        build_ivf, ivf_topk)
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    bucketed, cent = build_ivf(emb, n_centroids=8)
+    return ivf_topk(bucketed, cent, _query_vec(sf_dir), k=10, n_probe=3)
+
+
+def _q_text_tokens(sf_dir: str):
+    from stanford_relation_extractor_ray.stages.textquality import \
+        add_token_counts
+    return (add_token_counts(_docs_with_id_text(sf_dir))
+            .select_columns(["doc_id", "n_tokens", "n_bpe_tokens"])
+            .sort("doc_id"))
+
+
+def _q_text_quality(sf_dir: str):
+    from stanford_relation_extractor_ray.stages.textquality import \
+        add_quality
+    ds = add_quality(_docs_with_id_text(sf_dir)) \
+        .select_columns(["doc_id", "distinct_ratio", "mean_word_len",
+                         "alpha_ratio"])
+    ds = _round_col(ds, "distinct_ratio", 9)
+    ds = _round_col(ds, "mean_word_len", 9)
+    ds = _round_col(ds, "alpha_ratio", 9)
+    return ds.sort("doc_id")
+
+
+def _q_text_fingerprint(sf_dir: str):
+    from stanford_relation_extractor_ray.stages.textquality import \
+        add_fingerprint
+    return (add_fingerprint(_docs_with_id_text(sf_dir))
+            .select_columns(["doc_id", "md5"]).sort("doc_id"))
+
+
+def _q_text_langid(sf_dir: str):
+    from stanford_relation_extractor_ray.stages.textquality import \
+        add_lang_id
+    return (add_lang_id(_docs_with_id_text(sf_dir))
+            .select_columns(["doc_id", "pred_lang"]).sort("doc_id"))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from stanford_relation_extractor_ray.pipelines import relational as R
+    return {
+        # relational operator families (SURVEY.md §2.5-2.7)
+        "pricing_summary": lambda sf: _round2(R.pricing_summary(sf)),
+        "top_orders": R.top_orders,
+        "revenue_by_nation": lambda sf: _round_col(
+            R.revenue_by_nation(sf), "revenue", 2),
+        "customers_without_orders": R.customers_without_orders,
+        "latest_order_per_customer": R.latest_order_per_customer,
+        "event_type_diversity": R.event_type_diversity,
+        "hourly_event_value": lambda sf: _round_col(
+            R.hourly_event_value(sf), "sum_value", 2),
+        "nation_name_distances": R.nation_name_distances,
+        "orders_per_year": R.orders_per_year,
+        "high_value_repeat_customers": R.high_value_repeat_customers,
+        # dedup suite
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_jaccard": _q_dedup_jaccard,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding": _q_dedup_embedding,
+        # similarity search
+        "similarity_topk": _q_similarity_topk,
+        "similarity_ivf": _q_similarity_ivf,
+        # text analysis
+        "text_tokens": _q_text_tokens,
+        "text_quality": _q_text_quality,
+        "text_fingerprint": _q_text_fingerprint,
+        "text_langid": _q_text_langid,
+        # knowledge-graph pipeline (non-SQL: rows-only check)
+        "kg_triples": _q_kg_triples,
+        "kg_nodes": _q_kg_graph_nodes,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+def _round2(ds):
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        ds = _round_col(ds, c, 2)
+    return ds
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc_price,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "revenue_by_nation": """
+            SELECT n_name, ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            ORDER BY c_custkey
+        """,
+        "latest_order_per_customer": """
+            SELECT o_custkey, o_orderkey, o_orderdate FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+                FROM orders) WHERE rn = 1
+            ORDER BY o_custkey
+        """,
+        "event_type_diversity": """
+            SELECT user_id, COUNT(DISTINCT event_type) AS n_event_types
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "hourly_event_value": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   ROUND(SUM(value), 2) AS sum_value,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY event_type, window_start
+            ORDER BY event_type, window_start
+        """,
+        "nation_name_distances": """
+            SELECT a.n_name AS name_a, b.n_name AS name_b,
+                   levenshtein(a.n_name, b.n_name) AS dist
+            FROM nation a JOIN nation b
+              ON a.n_nationkey < b.n_nationkey
+            WHERE levenshtein(a.n_name, b.n_name) <= 4
+            ORDER BY name_a, name_b
+        """,
+        "orders_per_year": """
+            SELECT SUBSTR(CAST(o_orderdate AS VARCHAR), 1, 4) AS year,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY year ORDER BY year
+        """,
+        "high_value_repeat_customers": """
+            SELECT c_custkey, c_acctbal FROM customer
+            WHERE c_custkey IN (
+                SELECT o_custkey FROM orders
+                GROUP BY o_custkey HAVING COUNT(*) >= 15)
+              AND c_acctbal > 0.0
+            ORDER BY c_custkey
+        """,
+        "dedup_exact": """
+            SELECT MIN(doc_id) AS doc_id, text
+            FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        "dedup_minhash_lsh": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') w FROM documents),
+            sh AS (
+                SELECT doc_id, list_distinct(list_transform(
+                    generate_series(1, len(w) - 2),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) s
+                FROM toks)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(len(list_intersect(a.s, b.s))::DOUBLE
+                         / len(list_distinct(a.s || b.s)), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                  / len(list_distinct(a.s || b.s)) >= 0.5
+            ORDER BY id_a, id_b
+        """,
+        "dedup_jaccard": """
+            WITH toks AS (
+                SELECT doc_id, lang, string_split(text, ' ') w
+                FROM documents),
+            sh AS (
+                SELECT doc_id, lang, list_distinct(list_transform(
+                    generate_series(1, len(w) - 2),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) s
+                FROM toks)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(len(list_intersect(a.s, b.s))::DOUBLE
+                         / len(list_distinct(a.s || b.s)), 6) AS jaccard
+            FROM sh a JOIN sh b
+              ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                  / len(list_distinct(a.s || b.s)) >= 0.5
+            ORDER BY id_a, id_b
+        """,
+        "dedup_embedding": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+                       AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.5
+            ORDER BY id_a, id_b
+        """,
+        "similarity_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] qv FROM embeddings
+                       WHERE vec_id = 0)
+            SELECT vec_id, ROUND(list_cosine_similarity(
+                embedding::DOUBLE[], (SELECT qv FROM q)), 6) AS cosine
+            FROM embeddings
+            ORDER BY list_cosine_similarity(
+                embedding::DOUBLE[], (SELECT qv FROM q)) DESC, vec_id
+            LIMIT 10
+        """,
+        "text_tokens": """
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+                   len(regexp_extract_all(
+                       text, '[A-Za-z]+|[0-9]+|[^ \tA-Za-z0-9]'))
+                       AS n_bpe_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "text_quality": """
+            WITH t AS (SELECT doc_id, text, string_split(text, ' ') w
+                       FROM documents)
+            SELECT doc_id,
+                   ROUND(len(list_distinct(w))::DOUBLE / len(w), 9)
+                       AS distinct_ratio,
+                   ROUND(list_aggregate(list_transform(
+                       w, x -> length(x)), 'sum')::DOUBLE / len(w), 9)
+                       AS mean_word_len,
+                   ROUND(length(regexp_replace(
+                       text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                       / length(text), 9) AS alpha_ratio
+            FROM t ORDER BY doc_id
+        """,
+        "text_fingerprint": """
+            SELECT doc_id, md5(text) AS md5 FROM documents
+            ORDER BY doc_id
+        """,
+        # no oracle entries (non-SQL-expressible / approximate ops):
+        # dedup_simhash, similarity_ivf, text_langid, kg_triples, kg_nodes
+    }

@@ -40,8 +40,8 @@ def passthrough_documents(documents):
 
 
 def extract_fills(documents, *, seed: int = 42, aliases_ref=None,
-                  model_ref=None, n_salt: int = 4, nlp_concurrency=(1, 8),
-                  scorer_concurrency=(1, 8)):
+                  model_ref=None, n_salt: int = 4, nlp_concurrency=None,
+                  scorer_concurrency=None):
     """documents Dataset → raw fills Dataset (lazy, streaming)."""
     sentences = nlp.annotate(documents, seed=seed,
                              concurrency=nlp_concurrency)

@@ -39,7 +39,7 @@ from ..schemas import FILLS_SCHEMA
 from ..vocab import RELATIONS, resolve_relation
 
 PATTERN_SENT_SCORE = 0.95
-LR_MIN_PROB = 0.5
+LR_MIN_PROB = 0.9
 LR_WEIGHT = 0.6          # ensemble weight of the LR component
 HASH_DIM = 1 << 15
 NO_RELATION = "no_relation"
@@ -164,8 +164,11 @@ class EnsembleScorer:
             schema=FILLS_SCHEMA)
 
 
-def classify(bags, *, model_ref=None, concurrency=(1, 8),
+def classify(bags, *, model_ref=None, concurrency=None,
              batch_size: int = 1024):
+    if concurrency is None:
+        from ..runtime import pool_size
+        concurrency = pool_size()
     return bags.map_batches(
         EnsembleScorer, fn_constructor_kwargs={"model_ref": model_ref},
         batch_format="pyarrow", batch_size=batch_size,

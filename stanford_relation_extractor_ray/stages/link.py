@@ -110,11 +110,14 @@ class EntityLinker:
 
 
 def link(ds, *, aliases_ref=None, seed: int = 42,
-         concurrency=(1, 8), batch_size: int = 4096):
+         concurrency=None, batch_size: int = 4096):
     """Link a candidates dataset (subjects) or a fills dataset
     (subjects + objects; detected via the ``pred`` column)."""
+    if concurrency is None:
+        from ..runtime import pool_size
+        concurrency = pool_size()
     return ds.map_batches(
         EntityLinker,
         fn_constructor_kwargs={"aliases_ref": aliases_ref, "seed": seed},
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency)
+        concurrency=concurrency, num_cpus=0.5)

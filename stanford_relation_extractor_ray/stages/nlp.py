@@ -117,9 +117,12 @@ class NLPAnnotator:
             schema=SENTENCES_SCHEMA)
 
 
-def annotate(documents, *, seed: int = 42, concurrency=(1, 8),
+def annotate(documents, *, seed: int = 42, concurrency=None,
              batch_size: int = 512, num_cpus: float = 1):
     """documents Dataset → sentences Dataset (actor pool)."""
+    if concurrency is None:
+        from ..runtime import pool_size
+        concurrency = pool_size()
     return documents.map_batches(
         NLPAnnotator, fn_constructor_kwargs={"seed": seed},
         batch_format="pyarrow", batch_size=batch_size,

@@ -1,0 +1,128 @@
+"""Text-analysis operators: token counts, quality scoring, language ID,
+document fingerprinting.
+
+Vectorized ``map_batches`` stages over a documents table; the language
+identifier is a stateful actor pool (stopword profiles compiled once per
+actor). Fingerprinting = content hash of normalized text (the corpus
+analog of the reference's sentence-gloss keys,
+``KBPProcess.java:171-172``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": {"the", "and", "of", "a", "to", "in", "is", "for", "on",
+           "with", "value", "table", "row"},
+    "fr": {"le", "la", "et", "de", "un", "une", "en", "est", "pour"},
+    "de": {"der", "die", "und", "das", "ein", "eine", "ist", "für"},
+    "es": {"el", "la", "y", "de", "un", "una", "es", "para", "con"},
+}
+_BPE_ISH = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+
+
+def add_token_counts(ds, text_col: str = "text"):
+    """Whitespace token count + BPE-ish regex token count."""
+
+    def counts(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ws = np.array([len(t.split(' ')) for t in texts],
+                      dtype=np.int64)
+        bpe = np.array([len(_BPE_ISH.findall(t)) if t else 0
+                        for t in texts], dtype=np.int64)
+        return (batch.append_column("n_tokens", pa.array(ws))
+                .append_column("n_bpe_tokens", pa.array(bpe)))
+
+    return ds.map_batches(counts, batch_format="pyarrow")
+
+
+def add_quality(ds, text_col: str = "text"):
+    """Quality metrics: distinct-word ratio, mean word length,
+    alpha-character ratio — each exactly SQL-expressible for the
+    oracle; composite ``quality_score`` is their mean."""
+
+    def quality(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        distinct_ratio, mean_wlen, alpha_ratio = [], [], []
+        for t in texts:
+            toks = t.split(' ')
+            n = len(toks)
+            distinct_ratio.append(len(set(toks)) / n if n else 0.0)
+            mean_wlen.append(sum(len(w) for w in toks) / n if n else 0.0)
+            alpha = sum(1 for c in t if c.isalpha())
+            alpha_ratio.append(alpha / len(t) if t else 0.0)
+        score = (np.array(distinct_ratio) +
+                 np.minimum(np.array(mean_wlen) / 10.0, 1.0) +
+                 np.array(alpha_ratio)) / 3.0
+        return (batch
+                .append_column("distinct_ratio",
+                               pa.array(distinct_ratio, pa.float64()))
+                .append_column("mean_word_len",
+                               pa.array(mean_wlen, pa.float64()))
+                .append_column("alpha_ratio",
+                               pa.array(alpha_ratio, pa.float64()))
+                .append_column("quality_score",
+                               pa.array(score, pa.float64())))
+
+    return ds.map_batches(quality, batch_format="pyarrow")
+
+
+class LangId:
+    """Actor-pool language identifier (stopword-profile heuristic).
+    Profiles compiled once per actor; per-batch work is set lookups."""
+
+    def __init__(self):
+        self.profiles = {lang: frozenset(ws)
+                         for lang, ws in STOPWORDS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        langs = []
+        for t in texts:
+            toks = set(t.lower().split()) if t else set()
+            best, best_n = "und", 0
+            for lang in sorted(self.profiles):
+                n = len(toks & self.profiles[lang])
+                if n > best_n:
+                    best, best_n = lang, n
+            langs.append(best)
+        return batch.append_column("pred_lang",
+                                   pa.array(langs, pa.string()))
+
+
+def add_lang_id(ds, concurrency=(1, 4)):
+    return ds.map_batches(LangId, batch_format="pyarrow",
+                          concurrency=concurrency)
+
+
+def add_fingerprint(ds, text_col: str = "text"):
+    """Deterministic document fingerprint: md5 of the raw text (exactly
+    reproducible in SQL) plus a rolling-hash fingerprint of normalized
+    tokens (rows-only checkable)."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        md5s = [hashlib.md5(t.encode()).hexdigest() for t in texts]
+        rolls = []
+        for t in texts:
+            h = 0
+            for w in t.lower().split():
+                h = (h * 1000003 + hash_word(w)) & 0xFFFFFFFFFFFFFFFF
+            rolls.append(h)
+        return (batch.append_column("md5", pa.array(md5s, pa.string()))
+                .append_column("rolling_fp",
+                               pa.array(np.array(rolls, dtype=np.uint64))))
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def hash_word(w: str) -> int:
+    import zlib
+    return zlib.crc32(w.encode())

@@ -1,0 +1,92 @@
+"""NLP annotator + mention pairing unit tests (direct class calls — no
+Ray needed; the classes are plain callables over Arrow tables)."""
+
+import pyarrow as pa
+
+from stanford_relation_extractor_ray.corpus import DOCUMENTS_SCHEMA, \
+    SPAN_STRUCT
+from stanford_relation_extractor_ray.stages.mentions import pair_mentions
+from stanford_relation_extractor_ray.stages.nlp import NLPAnnotator
+
+
+def _doc(doc_id, texts, media_at=()):
+    spans = []
+    off = 0
+    for i, t in enumerate(texts):
+        if i in media_at:
+            spans.append({"kind": "image", "text": "",
+                          "media_ref": f"media://{doc_id}/{i}",
+                          "offset": off})
+        spans.append({"kind": "text", "text": t, "media_ref": "",
+                      "offset": off})
+        off += len(t) + 1
+    return {"doc_id": doc_id, "spans": spans}
+
+
+def _table(docs):
+    return pa.Table.from_pylist(docs, schema=DOCUMENTS_SCHEMA)
+
+
+def test_ner_and_spans():
+    ann = NLPAnnotator()
+    out = ann(_table([_doc("d1", [
+        "Robert Smith was born in Toronto .",
+        "He works for Acme Dynamics Corporation .",
+    ])]))
+    rows = out.to_pylist()
+    assert [r["sent_idx"] for r in rows] == [0, 1]
+    m0 = rows[0]["mentions"]
+    assert [(m["surface"], m["ner"]) for m in m0] == \
+        [("Robert Smith", "PERSON"), ("Toronto", "CITY")]
+    assert (m0[0]["begin"], m0[0]["end"]) == (0, 2)
+    assert (m0[1]["begin"], m0[1]["end"]) == (5, 6)
+    m1 = rows[1]["mentions"]
+    assert m1[0]["surface"] == "He"
+    assert m1[0]["antecedent"] == "Robert Smith"
+    assert m1[1]["surface"] == "Acme Dynamics Corporation"
+    assert m1[1]["ner"] == "ORGANIZATION"
+
+
+def test_media_spans_skipped_sentence_indices_stable():
+    ann = NLPAnnotator()
+    out = ann(_table([_doc("d1", ["Toronto is nice .", "Canada too ."],
+                           media_at=(0, 1))]))
+    rows = out.to_pylist()
+    assert [r["sent_idx"] for r in rows] == [0, 1]
+
+
+def test_date_number_priority():
+    ann = NLPAnnotator()
+    out = ann(_table([_doc("d1", [
+        "Julie Smith was born on April 12 , 1984 .",
+    ])]))
+    ments = out.to_pylist()[0]["mentions"]
+    tags = [m["ner"] for m in ments]
+    assert "DATE" in tags
+    assert "NUMBER" not in tags      # numbers inside the date are claimed
+
+
+def test_pairing_distance_and_dedup():
+    ann = NLPAnnotator()
+    sents = ann(_table([_doc("d1", [
+        "Robert Smith was born in Toronto .",
+    ])]))
+    cands = pair_mentions(sents).to_pylist()
+    assert len(cands) == 1
+    c = cands[0]
+    assert (c["subj"], c["obj"], c["between"]) == \
+        ("Robert Smith", "Toronto", "was born in")
+    assert c["subj_begin"] == 0 and c["obj_begin"] == 5
+
+
+def test_pronoun_not_a_slot():
+    ann = NLPAnnotator()
+    sents = ann(_table([_doc("d1", [
+        "Robert Smith works for Acme Dynamics Corporation .",
+        "He is married to Julie Laurent .",
+    ])]))
+    cands = pair_mentions(sents).to_pylist()
+    pairs = {(c["subj"], c["obj"]) for c in cands}
+    # pronoun resolved as subject, never as object
+    assert ("Robert Smith", "Julie Laurent") in pairs
+    assert all(c["obj"] not in ("He", "She", "It") for c in cands)

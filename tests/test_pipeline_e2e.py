@@ -1,0 +1,83 @@
+"""End-to-end pipeline tests: triple parity vs the reference-semantics
+oracle (P/R ≥ 0.95 — BASELINE.md rebuild target), span-sequence
+invariant, and checkpoint resume."""
+
+import shutil
+
+import pytest
+
+from stanford_relation_extractor_ray.corpus import (documents_dataset,
+                                                    gold_triple_set)
+from stanford_relation_extractor_ray.oracle import OracleExtractor
+
+N_DOCS = 200
+
+
+@pytest.fixture(scope="module")
+def consistent_fills(ray_session):
+    from stanford_relation_extractor_ray.pipelines.kg import (
+        extract_fills, finalize_fills)
+    fills = extract_fills(documents_dataset(N_DOCS))
+    return finalize_fills(fills).materialize().take_all()
+
+
+def _pr(a, b):
+    tp = len(a & b)
+    return tp / max(1, len(a)), tp / max(1, len(b))
+
+
+def test_parity_vs_oracle(consistent_fills):
+    got = {(r["subj"], r["pred"], r["obj"]) for r in consistent_fills}
+    orc = OracleExtractor().extract(N_DOCS)
+    p, r = _pr(got, orc)
+    assert p >= 0.95 and r >= 0.95, (p, r)
+
+
+def test_parity_vs_gold(consistent_fills):
+    got = {(r["subj"], r["pred"], r["obj"]) for r in consistent_fills}
+    gold = gold_triple_set(N_DOCS)
+    p, r = _pr(got, gold)
+    assert p >= 0.95 and r >= 0.95, (p, r)
+
+
+def test_span_invariant(ray_session):
+    from stanford_relation_extractor_ray.pipelines.kg import \
+        passthrough_documents
+    src = {r["doc_id"]: r["spans"]
+           for r in documents_dataset(60).take_all()}
+    out = passthrough_documents(documents_dataset(60)).take_all()
+    assert len(out) == len(src)
+    for r in out:
+        assert r["spans"] == src[r["doc_id"]], r["doc_id"]
+
+
+def test_graph_build(ray_session, consistent_fills):
+    import pyarrow as pa
+    import ray.data as rd
+    from stanford_relation_extractor_ray.pipelines.kg import build_graph
+    from stanford_relation_extractor_ray.schemas import FILLS_SCHEMA
+    fills_ds = rd.from_arrow(
+        pa.Table.from_pylist(consistent_fills, schema=FILLS_SCHEMA))
+    nodes, edges = build_graph(fills_ds)
+    node_names = set(nodes.column("name").to_pylist())
+    edge_rows = edges.take_all()
+    assert edge_rows and node_names
+    # every edge subject resolves to a node
+    assert {e["subj"] for e in edge_rows} <= node_names
+    # canonicalization merged alias surface forms into node aliases
+    alias_lists = nodes.column("aliases").to_pylist()
+    assert any(alias_lists)
+
+
+def test_checkpoint_resume(ray_session, tmp_path):
+    from stanford_relation_extractor_ray.pipelines.kg import run_kg
+    ckpt = str(tmp_path / "ckpt")
+    out1 = run_kg(80, checkpoint_dir=ckpt, n_shards=2)
+    t1 = {(r["subj"], r["pred"], r["obj"])
+          for r in out1["fills"].take_all()}
+    # kill one partition → rerun recomputes only it, same result
+    shutil.rmtree(tmp_path / "ckpt" / "fills" / "part=0001")
+    out2 = run_kg(80, checkpoint_dir=ckpt, n_shards=2)
+    t2 = {(r["subj"], r["pred"], r["obj"])
+          for r in out2["fills"].take_all()}
+    assert t1 == t2

@@ -1,0 +1,48 @@
+"""Linker scalar-function micro-fixtures (FIXTURES.md §6: mirror of the
+reference's AcronymMatcher / EntityLinker.GaborsHackyBaseline cases)."""
+
+from stanford_relation_extractor_ray.functions.text import (
+    approx_match_score, extract_year, is_acronym_of, levenshtein,
+    normalize_tokens, same_entity)
+
+
+def test_levenshtein():
+    assert levenshtein("", "") == 0
+    assert levenshtein("abc", "abc") == 0
+    assert levenshtein("abc", "abd") == 1
+    assert levenshtein("kitten", "sitting") == 3
+    assert levenshtein("a", "") == 1
+
+
+def test_acronym():
+    assert is_acronym_of("ADC", "Acme Dynamics Corporation")
+    assert not is_acronym_of("ADC", "Acme Dynamics")
+    assert not is_acronym_of("adc", "Acme Dynamics Corporation")
+    assert not is_acronym_of("A", "Acme")
+
+
+def test_normalize_tokens():
+    assert normalize_tokens("The Acme Corp.") == ["acme"]
+    assert normalize_tokens("Acme Dynamics Corporation") == \
+        ["acme", "dynamics"]
+    assert normalize_tokens("Robert Smith") == ["robert", "smith"]
+
+
+def test_approx_match_and_same_entity():
+    nick = {"bob": "robert"}
+    assert approx_match_score("Robert Smith", "Robert Smith") == 1.0
+    assert approx_match_score("Bob Smith", "Robert Smith", nick) == 1.0
+    assert approx_match_score("ACME", "Acme Corporation") == 1.0  # acronym
+    # single-token overlap of a two-token name → 0.5
+    assert abs(approx_match_score("Robert Smith", "Robert Jones") - 0.5) \
+        < 1e-9
+    assert same_entity("Robert Smith", "Robert Jones", "PERSON")   # > .49
+    assert not same_entity("Robert Smith", "Robert Jones",
+                           "ORGANIZATION")                         # < .79
+    # edit-distance-1 tokens (long) match
+    assert same_entity("Johansson Ltd", "Johanssen Ltd", "ORGANIZATION")
+
+
+def test_extract_year():
+    assert extract_year("born on April 12 , 1984 .") == "1984"
+    assert extract_year("no year here") is None
