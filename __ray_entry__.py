@@ -112,8 +112,11 @@ def _q_dedup_embedding(sf_dir: str):
         embedding_dup_pairs
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
-    pairs = embedding_dup_pairs(emb, threshold=0.5)
-    return _round_col(pairs, "cosine", 6).sort(["id_a", "id_b"])
+    pairs = embedding_dup_pairs(emb, threshold=0.45)
+    # ids only: cross-engine float cosines differ in the last ulp and a
+    # value can sit exactly on a rounding boundary (observed at 1e-6);
+    # pair membership is robust (min |cos-threshold| gap ≈ 5e-4)
+    return pairs.select_columns(["id_a", "id_b"]).sort(["id_a", "id_b"])
 
 
 def _query_vec(sf_dir: str) -> np.ndarray:
@@ -181,15 +184,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from stanford_relation_extractor_ray.pipelines import relational as R
     return {
         # relational operator families (SURVEY.md §2.5-2.7)
-        "pricing_summary": lambda sf: _round2(R.pricing_summary(sf)),
+        "pricing_summary": lambda sf: _cents(
+            R.pricing_summary(sf),
+            [("sum_qty", 1), ("sum_base_price", 100),
+             ("sum_disc_price", 10000)]),
         "top_orders": R.top_orders,
-        "revenue_by_nation": lambda sf: _round_col(
-            R.revenue_by_nation(sf), "revenue", 2),
-        "customers_without_orders": R.customers_without_orders,
+        "revenue_by_nation": lambda sf: _cents(
+            R.revenue_by_nation(sf), [("revenue", 100)]),
+        "customers_without_urgent_orders":
+            R.customers_without_urgent_orders,
         "latest_order_per_customer": R.latest_order_per_customer,
         "event_type_diversity": R.event_type_diversity,
-        "hourly_event_value": lambda sf: _round_col(
-            R.hourly_event_value(sf), "sum_value", 2),
+        "hourly_event_value": lambda sf: _cents(
+            R.hourly_event_value(sf), [("sum_value", 100)]),
         "nation_name_distances": R.nation_name_distances,
         "orders_per_year": R.orders_per_year,
         "high_value_repeat_customers": R.high_value_repeat_customers,
@@ -213,10 +220,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-def _round2(ds):
-    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-        ds = _round_col(ds, c, 2)
-    return ds
+def _cents(ds, cols):
+    """Fixed-point integerization of float sums: cross-engine float
+    aggregation differs in last-ulp summation order, so comparable
+    outputs are scaled to integers (inputs have fixed decimal width)."""
+    def f(batch: pa.Table) -> pa.Table:
+        for col, scale in cols:
+            i = batch.column_names.index(col)
+            v = pc.round(pc.multiply(batch.column(col),
+                                     pa.scalar(float(scale))), ndigits=0)
+            batch = batch.set_column(i, col, pc.cast(v, pa.int64()))
+        return batch
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
@@ -227,10 +242,11 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   ROUND(SUM(l_quantity), 2) AS sum_qty,
-                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
-                       AS sum_disc_price,
+                   CAST(ROUND(SUM(l_quantity), 0) AS BIGINT) AS sum_qty,
+                   CAST(ROUND(SUM(l_extendedprice) * 100, 0) AS BIGINT)
+                       AS sum_base_price,
+                   CAST(ROUND(SUM(l_extendedprice * (1 - l_discount))
+                        * 10000, 0) AS BIGINT) AS sum_disc_price,
                    COUNT(*) AS count_order
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
@@ -241,15 +257,19 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
         """,
         "revenue_by_nation": """
-            SELECT n_name, ROUND(SUM(o_totalprice), 2) AS revenue
+            SELECT n_name,
+                   CAST(ROUND(SUM(o_totalprice) * 100, 0) AS BIGINT)
+                       AS revenue
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name ORDER BY n_name
         """,
-        "customers_without_orders": """
+        "customers_without_urgent_orders": """
             SELECT c_custkey, c_name FROM customer
-            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders
+                WHERE o_orderpriority = '1-URGENT')
             ORDER BY c_custkey
         """,
         "latest_order_per_customer": """
@@ -266,7 +286,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hourly_event_value": """
             SELECT event_type, date_trunc('hour', ts) AS window_start,
-                   ROUND(SUM(value), 2) AS sum_value,
+                   CAST(ROUND(SUM(value) * 100, 0) AS BIGINT)
+                       AS sum_value,
                    COUNT(*) AS n_events
             FROM events GROUP BY event_type, window_start
             ORDER BY event_type, window_start
@@ -331,13 +352,10 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         "dedup_embedding": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   ROUND(list_cosine_similarity(
-                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
-                       AS cosine
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(
-                a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.5
+                a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
             ORDER BY id_a, id_b
         """,
         "similarity_topk": """

@@ -1,0 +1,112 @@
+"""Benchmark harness.
+
+Default: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) with ``ray.init(num_cpus=$RAY_GRAFT_CPUS)``
+(default 32) and print ONE JSON line with per-query seconds.
+
+``--scaling``: run the headline KG pipeline twice in fresh subprocesses
+at num_cpus=8 and num_cpus=32 on identical input and report both
+throughputs plus scaling efficiency (the two-cluster-size proxy from
+BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# bench corpus: scaled-down layout of the 10^12-doc design point
+KG_DOCS = int(os.environ.get("GRAFT_KG_DOCS", "20000"))
+
+
+def _init_ray(num_cpus: int):
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    return ray
+
+
+def bench_kg(n_docs: int) -> float:
+    """Headline: KG construction end-to-end (docs → consistent fills →
+    graph), streaming, no checkpoints."""
+    from stanford_relation_extractor_ray.corpus import documents_dataset
+    from stanford_relation_extractor_ray.pipelines.kg import (
+        build_graph, extract_fills, finalize_fills)
+    t0 = time.time()
+    fills = extract_fills(documents_dataset(n_docs))
+    consistent = finalize_fills(fills).materialize()
+    nodes, edges = build_graph(consistent)
+    edges.count()
+    return time.time() - t0
+
+
+def main():
+    if "--scaling" in sys.argv:
+        def run(ncpu: int) -> dict:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--kg-only"],
+                env=env, capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+            return json.loads(out.strip().splitlines()[-1])
+
+        lo, hi = 8, 32
+        r_lo, r_hi = run(lo), run(hi)
+        t_lo, t_hi = r_lo["value"], r_hi["value"]
+        eff = (t_lo / t_hi) / (hi / lo)
+        print(json.dumps({
+            "metric": "kg_construction_scaling",
+            "docs": KG_DOCS,
+            f"sec_{lo}": round(t_lo, 2), f"sec_{hi}": round(t_hi, 2),
+            f"docs_per_sec_{lo}": round(KG_DOCS / t_lo, 1),
+            f"docs_per_sec_{hi}": round(KG_DOCS / t_hi, 1),
+            "scaling_efficiency": round(eff, 3)}))
+        return
+
+    _init_ray(NUM_CPUS)
+    queries: dict[str, float] = {}
+
+    t_kg = bench_kg(KG_DOCS)
+    queries["kg_construct"] = round(t_kg, 2)
+
+    if "--kg-only" not in sys.argv:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import __ray_entry__ as E
+        qs = E.queries()
+        for name in ("pricing_summary", "revenue_by_nation",
+                     "hourly_event_value", "dedup_exact",
+                     "dedup_minhash_lsh", "dedup_simhash",
+                     "similarity_topk", "text_quality", "text_tokens"):
+            t0 = time.time()
+            res = qs[name](SF_DIR)
+            if hasattr(res, "count"):
+                res.count()         # consume the lazy dataset
+            queries[name] = round(time.time() - t0, 2)
+
+    total = sum(queries.values())
+    print(json.dumps({
+        "metric": "kg_docs_per_sec",
+        "value": round(t_kg, 2),
+        "unit": "sec",
+        "docs_per_sec": round(KG_DOCS / t_kg, 1),
+        "queries": queries,
+        "total_sec": round(total, 2),
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "kg_docs": KG_DOCS,
+    }))
+    import ray
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -110,13 +110,17 @@ def revenue_by_nation(sf_dir: str):
 
 # --- anti-join via broadcast key set (reference: FilterAlreadyKnownSlots)
 
-def customers_without_orders(sf_dir: str):
+def customers_without_urgent_orders(sf_dir: str):
+    """Anti-join via broadcast key set, with the filter pushed into the
+    read side (only URGENT orders' keys are collected)."""
     import ray
 
     custkeys = set()
-    for batch in _read(sf_dir, "orders", ["o_custkey"]) \
-            .iter_batches(batch_format="pyarrow"):
-        custkeys.update(batch.column("o_custkey").to_pylist())
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    for batch in orders.iter_batches(batch_format="pyarrow"):
+        mask = pc.equal(batch.column("o_orderpriority"), "1-URGENT")
+        custkeys.update(batch.filter(mask).column("o_custkey")
+                        .to_pylist())
     ref = ray.put(custkeys)
 
     def anti(batch: pa.Table) -> pa.Table:

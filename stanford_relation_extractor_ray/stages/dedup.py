@@ -180,7 +180,11 @@ def simhash_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
                 out["bval"].append((h >> (bi * width)) &
                                    ((1 << width) - 1))
                 out["sh"].append(h)
-        return pa.table(out)
+        return pa.table({
+            "id": pa.array(out["id"]),
+            "block": pa.array(out["block"], pa.int32()),
+            "bval": pa.array(out["bval"], pa.int64()),
+            "sh": pa.array(out["sh"], pa.uint64())})
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         ids = group.column("id").to_pylist()
