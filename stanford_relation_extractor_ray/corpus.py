@@ -176,7 +176,7 @@ def documents_dataset(n_docs: int, seed: int = 42, *,
     import ray.data as rd
     ds = rd.range(n_docs, override_num_blocks=override_num_blocks)
     return ds.map_batches(lambda b: _docs_batch(b, seed),
-                          batch_format="numpy", batch_size=2048)
+                          batch_format="numpy", batch_size=512)
 
 
 def _gold_batch(batch: dict, seed: int) -> pa.Table:

@@ -41,16 +41,28 @@ def passthrough_documents(documents):
 
 def extract_fills(documents, *, seed: int = 42, aliases_ref=None,
                   model_ref=None, n_salt: int = 4, nlp_concurrency=None,
-                  scorer_concurrency=None):
-    """documents Dataset → raw fills Dataset (lazy, streaming)."""
-    sentences = nlp.annotate(documents, seed=seed,
-                             concurrency=nlp_concurrency)
-    cands = mentions.pair(sentences)
-    cands = link.link(cands, aliases_ref=aliases_ref, seed=seed)
-    feats = featurize.featurize(cands)
-    bagged = bags.assemble(feats, n_salt=n_salt)
-    return classify.classify(bagged, model_ref=model_ref,
-                             concurrency=scorer_concurrency)
+                  scorer_concurrency=None, use_bags: bool = False):
+    """documents Dataset → raw (partial) fills Dataset (lazy, streaming).
+
+    Default is the fast path: per-candidate scoring with in-batch
+    partial noisy-or aggregation (classify.CandidateScorer) — provably
+    equivalent to explicit bag assembly because noisy-or distributes
+    over bag partitions, and one full shuffle cheaper. ``use_bags=True``
+    runs the literal reference dataflow (salted bag groupby →
+    bag scorer) instead; both feed the same ``combine_fills`` merge.
+    """
+    if use_bags:
+        sentences = nlp.annotate(documents, seed=seed,
+                                 concurrency=nlp_concurrency)
+        cands = mentions.pair(sentences)
+        cands = link.link(cands, aliases_ref=aliases_ref, seed=seed)
+        feats = featurize.featurize(cands)
+        bagged = bags.assemble(feats, n_salt=n_salt)
+        return classify.classify(bagged, model_ref=model_ref,
+                                 concurrency=scorer_concurrency)
+    from ..stages.extract_fused import extract
+    return extract(documents, seed=seed, aliases_ref=aliases_ref,
+                   model_ref=model_ref, concurrency=nlp_concurrency)
 
 
 def finalize_fills(fills, *, seed: int = 42, aliases_ref=None):

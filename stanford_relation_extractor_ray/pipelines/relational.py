@@ -47,7 +47,8 @@ def pricing_summary(sf_dir: str):
              "p_disc", "p_cnt"])
 
     from ray.data.aggregate import Sum
-    agg = (ds.map_batches(partial, batch_format="pyarrow")
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=65536)
            .groupby(["l_returnflag", "l_linestatus"])
            .aggregate(Sum("p_qty", alias_name="sum_qty"),
                       Sum("p_price", alias_name="sum_base_price"),
@@ -94,7 +95,7 @@ def revenue_by_nation(sf_dir: str):
     def join_batch(batch: pa.Table) -> pa.Table:
         m = ray.get(ref)
         keys = batch.column("o_custkey").to_numpy()
-        names = pa.array([m.get(int(k)) for k in keys], pa.string())
+        names = pa.array([m.get(k) for k in keys.tolist()], pa.string())
         t = batch.append_column("n_name", names)
         return (t.group_by("n_name")
                 .aggregate([("o_totalprice", "sum")])
@@ -102,7 +103,8 @@ def revenue_by_nation(sf_dir: str):
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     from ray.data.aggregate import Sum
-    return (orders.map_batches(join_batch, batch_format="pyarrow")
+    return (orders.map_batches(join_batch, batch_format="pyarrow",
+                               batch_size=65536)
             .groupby("n_name")
             .aggregate(Sum("p_rev", alias_name="revenue"))
             .sort("n_name"))
@@ -189,7 +191,8 @@ def hourly_event_value(sf_dir: str):
                                  "p_sum", "p_cnt"]))
 
     from ray.data.aggregate import Sum
-    return (ds.map_batches(to_window, batch_format="pyarrow")
+    return (ds.map_batches(to_window, batch_format="pyarrow",
+                           batch_size=65536)
             .groupby(["event_type", "window_start"])
             .aggregate(Sum("p_sum", alias_name="sum_value"),
                        Sum("p_cnt", alias_name="n_events"))

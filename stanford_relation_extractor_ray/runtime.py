@@ -1,16 +1,22 @@
 """Cluster-aware stage sizing.
 
-A pipeline with several concurrent actor pools must not reserve every
-CPU for pool minima, or the stateless map/shuffle tasks starve and the
-streaming executor livelocks (observed on a 4-CPU test cluster: 3 pools
-× min-1 actor × 1 CPU + pending scale-ups = 4/4 CPUs held, zero
-progress). Rules used here:
+Fixed-size actor pools (not autoscaling) because a pool that ramps from
+1 actor spends seconds of the job's wall-clock scaling up — measured as
+the main reason a 32-CPU run failed to beat an 8-CPU run by more than
+1.6× on the bench corpus.
 
-- pool minimum is always 1 actor;
-- pool maximum scales with cluster CPUs divided by the number of
-  concurrently-running pools (the KG pipeline runs ≤3);
-- lightweight actors (linker, lang-id) reserve 0.5 CPU so two share a
-  core with the heavy stages.
+The hard constraint: every fixed pool in a streaming pipeline reserves
+its CPUs for the WHOLE execution, even while its stage has no input
+yet, and Ray Data's stateless tasks (read/generate, shuffle map, sort,
+map_groups) each need a full CPU slot. If the pools reserve ~all CPUs
+the stateless stages never schedule and the pipeline livelocks at ~0%
+CPU (observed on the 4-CPU test cluster: fused-extract pool 3×1 CPU +
+linker 1×0.5 CPU = 3.5/4 reserved → the upstream doc-generate task
+could not start, so the actors idled forever).
+
+Rule: all pools together may reserve at most ``pool_budget()`` CPUs =
+cluster − headroom, headroom = max(2, cpus/8). Each pool takes a
+``share`` of that budget scaled by its per-actor ``num_cpus``.
 """
 
 from __future__ import annotations
@@ -26,11 +32,17 @@ def cluster_cpus(default: int = 8) -> int:
     return default
 
 
-def pool_size(share: float = 1 / 3, cap: int | None = None
-              ) -> tuple[int, int]:
-    """(min, max) actor-pool concurrency for one of ~3 parallel pools."""
+def pool_budget() -> float:
+    """CPUs available to actor pools after task headroom."""
     cpus = cluster_cpus()
-    hi = max(1, int(cpus * share))
+    return max(1.0, cpus - max(2, cpus // 8))
+
+
+def pool_size(share: float = 1 / 3, cap: int | None = None,
+              num_cpus: float = 1.0) -> int:
+    """Actor count for a pool taking ``share`` of the pool budget with
+    ``num_cpus`` reserved per actor."""
+    n = max(1, int(pool_budget() * share / num_cpus))
     if cap is not None:
-        hi = min(hi, cap)
-    return (1, hi)
+        n = min(n, cap)
+    return n

@@ -175,17 +175,131 @@ def classify(bags, *, model_ref=None, concurrency=None,
         concurrency=concurrency)
 
 
+class CandidateScorer:
+    """Fast-path actor-pool scorer: featurized candidate rows → per-batch
+    PARTIAL fills (one row per triple per batch).
+
+    Equivalent to bag assembly + bag scoring (bags.assemble +
+    EnsembleScorer) because both ensemble components score sentences
+    independently and the bag aggregate is a noisy-or, which distributes
+    over any partition of the bag:  1-∏(1-sᵢ) over the whole bag equals
+    the noisy-or of per-batch partial noisy-ors. This removes the
+    100k-group bag shuffle entirely; the only remaining shuffle is the
+    (much smaller) per-triple combine (``combine_fills``), and in-batch
+    partial aggregation keeps hot-entity groups bounded by the number of
+    batches rather than the number of supporting sentences.
+    """
+
+    def __init__(self, model_ref=None):
+        self.lr: LRModel | None = None
+        if model_ref is not None:
+            import ray
+            d = ray.get(model_ref) if hasattr(model_ref, "hex") \
+                else model_ref
+            if d is not None:
+                self.lr = LRModel.from_dict(d)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..vocab import resolve_relation
+
+        subj = batch.column("subj").to_pylist()
+        subj_t = batch.column("subj_type").to_pylist()
+        obj = batch.column("obj").to_pylist()
+        obj_t = batch.column("obj_type").to_pylist()
+        doc_id = batch.column("doc_id").to_pylist()
+        sent_idx = batch.column("sent_idx").to_pylist()
+        sb = batch.column("subj_begin").to_pylist()
+        se = batch.column("subj_end").to_pylist()
+        ob = batch.column("obj_begin").to_pylist()
+        oe = batch.column("obj_end").to_pylist()
+        between = batch.column("between").to_pylist()
+        feats = batch.column("features").to_pylist() \
+            if self.lr is not None else None
+
+        probs = z = None
+        if self.lr is not None:
+            probs = self.lr.predict_proba(feats)
+            z = probs.argmax(axis=1)
+
+        # partial per-triple aggregation within the batch
+        agg: dict[tuple, list] = {}
+
+        def hit(i, rel, s):
+            key = (subj[i], subj_t[i], rel, obj[i], obj_t[i])
+            cur = agg.get(key)
+            prov = (s, doc_id[i], sent_idx[i], sb[i], se[i], ob[i], oe[i])
+            if cur is None:
+                agg[key] = [1.0 - s, prov]
+            else:
+                cur[0] *= (1.0 - s)
+                # best provenance: highest sentence score, then lowest
+                # (doc_id, sent_idx) for determinism
+                if (-prov[0], prov[1], prov[2]) < \
+                        (-cur[1][0], cur[1][1], cur[1][2]):
+                    cur[1] = prov
+
+        n = batch.num_rows
+        for i in range(n):
+            if sb[i] <= ob[i]:          # pattern fires on SO order only
+                rel = resolve_relation(between[i], subj_t[i], obj_t[i])
+                if rel is not None:
+                    hit(i, rel, PATTERN_SENT_SCORE)
+            if probs is not None:
+                rel = self.lr.labels[z[i]]
+                if rel != NO_RELATION and probs[i, z[i]] >= LR_MIN_PROB:
+                    spec = RELATIONS.get(rel)
+                    if spec is not None and obj_t[i] in spec.slot_types:
+                        hit(i, rel, float(probs[i, z[i]]) * LR_WEIGHT)
+
+        keys = list(agg)
+        cols = {
+            "subj": [k[0] for k in keys],
+            "subj_type": [k[1] for k in keys],
+            "pred": [k[2] for k in keys],
+            "obj": [k[3] for k in keys],
+            "obj_type": [k[4] for k in keys],
+            "score": [1.0 - agg[k][0] for k in keys],
+            "doc_id": [agg[k][1][1] for k in keys],
+            "sent_idx": [agg[k][1][2] for k in keys],
+            "subj_span": [[agg[k][1][3], agg[k][1][4]] for k in keys],
+            "obj_span": [[agg[k][1][5], agg[k][1][6]] for k in keys],
+        }
+        t = pa.Table.from_arrays(
+            [pa.array(cols[nm], ty) for nm, ty in
+             zip(FILLS_SCHEMA.names, FILLS_SCHEMA.types)],
+            schema=FILLS_SCHEMA)
+        return t.append_column(
+            "prov_score",
+            pa.array([agg[k][1][0] for k in keys], pa.float64()))
+
+
+def score_candidates(featurized, *, model_ref=None, concurrency=None,
+                     batch_size: int = 8192):
+    """Fast path: featurized candidates → partial fills (actor pool)."""
+    if concurrency is None:
+        from ..runtime import pool_size
+        concurrency = pool_size()
+    return featurized.map_batches(
+        CandidateScorer, fn_constructor_kwargs={"model_ref": model_ref},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
 def _merge_fill_group(group: pa.Table) -> pa.Table:
-    """Noisy-or merge of one triple's fills across salted partial bags."""
+    """Noisy-or merge of one triple's fills across partial batches."""
     scores = group.column("score").to_pylist()
     merged = 1.0
     for s in scores:
         merged *= (1.0 - s)
     merged = 1.0 - merged
-    best = max(range(len(scores)),
-               key=lambda i: (scores[i],
-                              group.column("doc_id")[i].as_py(),
-                              -group.column("sent_idx")[i].as_py()))
+    if "prov_score" in group.column_names:
+        ps = group.column("prov_score").to_pylist()
+    else:
+        ps = scores
+    docs = group.column("doc_id").to_pylist()
+    sents = group.column("sent_idx").to_pylist()
+    best = min(range(len(scores)),
+               key=lambda i: (-ps[i], docs[i], sents[i]))
     row = group.slice(best, 1)
     arrays = []
     for name in FILLS_SCHEMA.names:
@@ -196,9 +310,49 @@ def _merge_fill_group(group: pa.Table) -> pa.Table:
     return pa.Table.from_arrays(arrays, schema=FILLS_SCHEMA)
 
 
+TRIPLE_KEY = ["subj", "subj_type", "pred", "obj", "obj_type"]
+
+
 def combine_fills(fills):
-    """Per-triple combine across salted bags (tiny groups; shuffle on the
-    already-aggregated fills table, far smaller than the bag shuffle)."""
-    return fills.groupby(["subj", "subj_type", "pred", "obj",
-                          "obj_type"]).map_groups(
-        _merge_fill_group, batch_format="pyarrow")
+    """Per-triple noisy-or combine across partial fills.
+
+    One group per triple would pay Python per-group overhead (measured:
+    the dominant *serial* cost at 80k docs, flattening the 8→32-CPU
+    scaling curve). Instead rows are routed to ``pid = hash(triple) %
+    (4·CPUs)`` coarse partitions and each partition is merged with
+    C-speed pandas groupby kernels (prod for the noisy-or, sorted
+    drop_duplicates for best-provenance selection).
+    """
+    import pandas as pd
+
+    from ..runtime import cluster_cpus
+    n_parts = max(16, cluster_cpus() * 4)
+
+    def add_pid(batch: pa.Table) -> pa.Table:
+        cols = [batch.column(c).to_pylist() for c in TRIPLE_KEY]
+        pid = pa.array(
+            [zlib.crc32("|".join(vals).encode()) % n_parts
+             for vals in zip(*cols)], pa.int32())
+        return batch.append_column("pid", pid)
+
+    def merge_partition(df: pd.DataFrame) -> pd.DataFrame:
+        has_ps = "prov_score" in df.columns
+        ps = df["prov_score"] if has_ps else df["score"]
+        df = df.assign(_om=1.0 - df["score"], _ps=ps)
+        # best provenance first within each triple
+        df = df.sort_values(TRIPLE_KEY + ["_ps", "doc_id", "sent_idx"],
+                            ascending=[True] * len(TRIPLE_KEY)
+                            + [False, True, True], kind="mergesort")
+        merged = df.groupby(TRIPLE_KEY, sort=False)["_om"].prod()
+        first = df.drop_duplicates(TRIPLE_KEY, keep="first") \
+            .set_index(TRIPLE_KEY)
+        first["score"] = 1.0 - merged
+        out = first.reset_index()[
+            [n for n in FILLS_SCHEMA.names]]
+        return out
+
+    return (fills.map_batches(add_pid, batch_format="pyarrow",
+                              batch_size=65536)
+            .groupby("pid")
+            .map_groups(merge_partition, batch_format="pandas")
+            .select_columns(FILLS_SCHEMA.names))

@@ -69,7 +69,15 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     ``KBPTrainer.java:155,246``). Output: (id_col, text_col)."""
     from ray.data.aggregate import Min
 
-    return (ds.select_columns([id_col, text_col])
+    def partial(batch: pa.Table) -> pa.Table:
+        # in-batch pre-aggregation (Arrow hash-agg) → the global
+        # groupby shuffles at most one row per distinct text per batch
+        return (batch.select([id_col, text_col])
+                .group_by(text_col).aggregate([(id_col, "min")])
+                .rename_columns([text_col, id_col]))
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
             .groupby(text_col)
             .aggregate(Min(id_col, alias_name=id_col))
             .select_columns([id_col, text_col]))
@@ -93,55 +101,103 @@ def minhash_lsh_pairs(ds, *, text_col: str = "text",
     exact-join oracle with overwhelming probability while only
     comparing bucket-mates.
     """
+    import ray
+
     r = num_perm // bands
     a, b = _perm_params(num_perm, seed)
+    from ..runtime import cluster_cpus
+    n_parts = max(16, cluster_cpus() * 4)
 
     def to_bands(batch: pa.Table) -> pa.Table:
+        """(id, pid, bucket) rows — one per band; signatures computed
+        once per doc, band hashes folded into a single uint64 bucket
+        key, rows routed to a COARSE partition id so the downstream
+        groupby has O(n_parts) groups, not O(rows)."""
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
-        out_id, out_band, out_hash, out_text = [], [], [], []
+        nb = len(ids) * bands
+        out_id = np.empty(nb, dtype=np.int64)
+        out_bucket = np.empty(nb, dtype=np.uint64)
+        pos = 0
         for i, t in zip(ids, texts):
             sig = minhash_signature(shingles(t, k), a, b)
-            for bi in range(bands):
-                h = hashlib.blake2b(
-                    sig[bi * r:(bi + 1) * r].tobytes(),
-                    digest_size=8).hexdigest()
-                out_id.append(i)
-                out_band.append(bi)
-                out_hash.append(h)
-                out_text.append(t)
-        return pa.table({"id": out_id, "band": out_band,
-                         "bhash": out_hash, "text": out_text})
+            # fold each band's r values + band index into one uint64
+            folded = sig.reshape(bands, r).astype(np.uint64)
+            acc = np.full(bands, 14695981039346656037, dtype=np.uint64)
+            for col in range(r):
+                acc = (acc ^ folded[:, col]) * np.uint64(1099511628211)
+            acc = (acc ^ np.arange(bands, dtype=np.uint64)) \
+                * np.uint64(1099511628211)
+            out_id[pos:pos + bands] = i
+            out_bucket[pos:pos + bands] = acc
+            pos += bands
+        pid = (out_bucket % np.uint64(n_parts)).astype(np.int32)
+        return pa.table({"id": out_id, "bucket": out_bucket, "pid": pid})
 
-    banded = ds.map_batches(to_bands, batch_format="pyarrow")
+    banded = ds.map_batches(to_bands, batch_format="pyarrow",
+                            batch_size=4096)
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group.column("id").to_pylist()
-        texts = group.column("text").to_pylist()
-        order = np.argsort(ids)
-        out_a, out_b, out_j = [], [], []
-        sh = [shingles(texts[i], k) for i in order]
-        ids = [ids[i] for i in order]
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                if ids[x] == ids[y]:
-                    continue
-                inter = len(sh[x] & sh[y])
-                union = len(sh[x] | sh[y])
-                j = inter / union if union else 0.0
-                if j >= threshold:
-                    out_a.append(ids[x])
-                    out_b.append(ids[y])
-                    out_j.append(j)
-        return pa.table({"id_a": out_a, "id_b": out_b,
-                         "jaccard": np.array(out_j, dtype=np.float64)})
+    def partition_pairs(group: pa.Table) -> pa.Table:
+        """One coarse partition: dict-group by bucket, emit candidate
+        pairs (deduped within the partition)."""
+        ids = group.column("id").to_numpy()
+        buckets = group.column("bucket").to_numpy()
+        order = np.lexsort((ids, buckets))
+        ids, buckets = ids[order], buckets[order]
+        seen: set[tuple[int, int]] = set()
+        run_start = 0
+        for i in range(1, len(ids) + 1):
+            if i == len(ids) or buckets[i] != buckets[run_start]:
+                if i - run_start > 1:
+                    run = np.unique(ids[run_start:i])
+                    for x in range(len(run)):
+                        for y in range(x + 1, len(run)):
+                            seen.add((int(run[x]), int(run[y])))
+                run_start = i
+        return pa.table(
+            {"id_a": np.fromiter((p[0] for p in seen), np.int64,
+                                 len(seen)),
+             "id_b": np.fromiter((p[1] for p in seen), np.int64,
+                                 len(seen))})
 
-    pairs = banded.groupby(["band", "bhash"]).map_groups(
-        bucket_pairs, batch_format="pyarrow")
-    # a pair can surface from several bands → distinct
-    from ray.data.aggregate import Max
-    return (pairs.groupby(["id_a", "id_b"])
-            .aggregate(Max("jaccard", alias_name="jaccard")))
+    cand = banded.groupby("pid").map_groups(partition_pairs,
+                                            batch_format="pyarrow")
+    # distinct pairs across partitions (candidate set is small)
+    pair_rows = {(r_["id_a"], r_["id_b"]) for r_ in cand.take_all()}
+    if not pair_rows:
+        return ray.data.from_arrow(pa.table(
+            {"id_a": pa.array([], pa.int64()),
+             "id_b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}))
+
+    # exact-Jaccard verification: broadcast the candidate docs' texts
+    # (bounded by the candidate set, not the corpus)
+    need = {i for p in pair_rows for i in p}
+    need_ref = ray.put(need)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ns = ray.get(need_ref)
+        mask = pa.array([int(i) in ns
+                         for i in batch.column(id_col).to_pylist()])
+        return batch.filter(mask).select([id_col, text_col])
+
+    texts = {r_[id_col]: r_[text_col]
+             for r_ in ds.map_batches(pick,
+                                      batch_format="pyarrow").take_all()}
+    sh_memo = {i: shingles(t, k) for i, t in texts.items()}
+    out_a, out_b, out_j = [], [], []
+    for ia, ib in sorted(pair_rows):
+        sa, sb_ = sh_memo[ia], sh_memo[ib]
+        union = len(sa | sb_)
+        j = len(sa & sb_) / union if union else 0.0
+        if j >= threshold:
+            out_a.append(ia)
+            out_b.append(ib)
+            out_j.append(j)
+    return ray.data.from_arrow(pa.table(
+        {"id_a": pa.array(out_a, pa.int64()),
+         "id_b": pa.array(out_b, pa.int64()),
+         "jaccard": pa.array(out_j, pa.float64())}))
 
 
 def simhash64(text: str, k: int = 1) -> int:
@@ -167,48 +223,92 @@ def simhash_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
     """
     n_blocks = radius + 1
     width = 64 // n_blocks
+    from ..runtime import cluster_cpus
+    n_parts = max(16, cluster_cpus() * 4)
 
     def to_blocks(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
-        out = {"id": [], "block": [], "bval": [], "sh": []}
+        n = len(ids)
+        out_id = np.empty(n * n_blocks, dtype=np.int64)
+        out_bucket = np.empty(n * n_blocks, dtype=np.uint64)
+        out_sh = np.empty(n * n_blocks, dtype=np.uint64)
+        pos = 0
         for i, t in zip(ids, texts):
             h = simhash64(t, k)
             for bi in range(n_blocks):
-                out["id"].append(i)
-                out["block"].append(bi)
-                out["bval"].append((h >> (bi * width)) &
-                                   ((1 << width) - 1))
-                out["sh"].append(h)
-        return pa.table({
-            "id": pa.array(out["id"]),
-            "block": pa.array(out["block"], pa.int32()),
-            "bval": pa.array(out["bval"], pa.int64()),
-            "sh": pa.array(out["sh"], pa.uint64())})
+                bval = (h >> (bi * width)) & ((1 << width) - 1)
+                out_id[pos] = i
+                # bucket key = (block index, block value) folded
+                out_bucket[pos] = (np.uint64(bval) *
+                                   np.uint64(1099511628211)) \
+                    ^ np.uint64(bi)
+                out_sh[pos] = h
+                pos += 1
+        pid = (out_bucket % np.uint64(n_parts)).astype(np.int32)
+        return pa.table({"id": out_id, "bucket": out_bucket,
+                         "sh": out_sh, "pid": pid})
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group.column("id").to_pylist()
-        hs = group.column("sh").to_pylist()
-        seen = sorted(set(zip(ids, hs)))
-        out_a, out_b, out_d = [], [], []
-        for x in range(len(seen)):
-            for y in range(x + 1, len(seen)):
-                if seen[x][0] == seen[y][0]:
-                    continue
-                d = bin(seen[x][1] ^ seen[y][1]).count("1")
-                if d <= radius:
-                    out_a.append(seen[x][0])
-                    out_b.append(seen[y][0])
-                    out_d.append(d)
-        return pa.table({"id_a": out_a, "id_b": out_b,
-                         "hamming": np.array(out_d, dtype=np.int64)})
+    def partition_pairs(group: pa.Table) -> pa.Table:
+        """One coarse partition: dict-group by bucket key, verify
+        hamming within buckets."""
+        ids = group.column("id").to_numpy()
+        buckets = group.column("bucket").to_numpy()
+        hs = group.column("sh").to_numpy()
+        order = np.lexsort((ids, buckets))
+        ids, buckets, hs = ids[order], buckets[order], hs[order]
+        out: set[tuple[int, int, int]] = set()
+        run_start = 0
+        for i in range(1, len(ids) + 1):
+            if i == len(ids) or buckets[i] != buckets[run_start]:
+                if i - run_start > 1:
+                    rid, rh = ids[run_start:i], hs[run_start:i]
+                    for x in range(len(rid)):
+                        for y in range(x + 1, len(rid)):
+                            if rid[x] == rid[y]:
+                                continue
+                            d = int(rh[x] ^ rh[y]).bit_count()
+                            if d <= radius:
+                                a_, b_ = sorted((int(rid[x]),
+                                                 int(rid[y])))
+                                out.add((a_, b_, d))
+                run_start = i
+        rows = sorted(out)
+        return pa.table(
+            {"id_a": pa.array([r_[0] for r_ in rows], pa.int64()),
+             "id_b": pa.array([r_[1] for r_ in rows], pa.int64()),
+             "hamming": pa.array([r_[2] for r_ in rows], pa.int64())})
 
-    from ray.data.aggregate import Min
-    blocks = ds.map_batches(to_blocks, batch_format="pyarrow")
-    pairs = blocks.groupby(["block", "bval"]).map_groups(
-        bucket_pairs, batch_format="pyarrow")
-    return (pairs.groupby(["id_a", "id_b"])
-            .aggregate(Min("hamming", alias_name="hamming")))
+    blocks = ds.map_batches(to_blocks, batch_format="pyarrow",
+                            batch_size=4096)
+    pairs = blocks.groupby("pid").map_groups(partition_pairs,
+                                             batch_format="pyarrow")
+
+    # distinct pairs across partitions: coarse-pid dedupe again (a pair
+    # can surface from several blocks) — never one group per pair
+    def add_pid(batch: pa.Table) -> pa.Table:
+        ia = batch.column("id_a").to_numpy()
+        ib = batch.column("id_b").to_numpy()
+        pid2 = ((ia.astype(np.uint64) * np.uint64(2654435761)
+                 ^ ib.astype(np.uint64)) % np.uint64(n_parts)) \
+            .astype(np.int32)
+        return batch.append_column("pid2", pa.array(pid2))
+
+    def dedupe(group: pa.Table) -> pa.Table:
+        ia = group.column("id_a").to_numpy()
+        ib = group.column("id_b").to_numpy()
+        hm = group.column("hamming").to_numpy()
+        order = np.lexsort((hm, ib, ia))
+        ia, ib, hm = ia[order], ib[order], hm[order]
+        keep = np.ones(len(ia), dtype=bool)
+        keep[1:] = (ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1])
+        return pa.table({"id_a": pa.array(ia[keep]),
+                         "id_b": pa.array(ib[keep]),
+                         "hamming": pa.array(hm[keep])})
+
+    return (pairs.map_batches(add_pid, batch_format="pyarrow")
+            .groupby("pid2").map_groups(dedupe, batch_format="pyarrow")
+            .select_columns(["id_a", "id_b", "hamming"]))
 
 
 def jaccard_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
@@ -296,4 +396,5 @@ def embedding_dup_pairs(ds, *, vec_col: str = "embedding",
         return pa.table({"id_a": out_a, "id_b": out_b,
                          "cosine": np.array(out_s, dtype=np.float64)})
 
-    return ds.map_batches(batch_pairs, batch_format="pyarrow")
+    return ds.map_batches(batch_pairs, batch_format="pyarrow",
+                          batch_size=2048)

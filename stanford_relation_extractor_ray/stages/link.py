@@ -115,7 +115,7 @@ def link(ds, *, aliases_ref=None, seed: int = 42,
     (subjects + objects; detected via the ``pred`` column)."""
     if concurrency is None:
         from ..runtime import pool_size
-        concurrency = pool_size()
+        concurrency = pool_size(share=0.1, num_cpus=0.5)
     return ds.map_batches(
         EntityLinker,
         fn_constructor_kwargs={"aliases_ref": aliases_ref, "seed": seed},

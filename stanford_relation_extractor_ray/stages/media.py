@@ -1,0 +1,288 @@
+"""Multimodal (image / audio / table) span processing.
+
+The reference pipeline carries no media, but the corpus shape this
+engine targets (driver ``input_hint``) interleaves opaque media spans
+with text spans inside every document row. These stages give media
+spans the same first-class treatment text gets: fetch → decode →
+(resize | frame-sample) → feature-extract, each expressed as a
+``map_batches`` stage over Arrow batches, with decode/resize as
+actor pools (codecs are per-worker state at real scale).
+
+Codec stubs: the container has no image/audio libraries, so the
+decode step is a clearly-marked deterministic fake
+(``_fake_decode_*``): it parses a structured header out of the
+deterministic payload bytes. The Ray-side plumbing — schemas, batch
+sizes, actor signatures, output layout — is real and tested
+(tests/test_media.py); dropping in PIL/ffmpeg means replacing the
+``_fake_decode_*`` bodies only (they raise ``NotImplementedError``
+when handed a payload that does not carry the synthetic magic, which
+is exactly where a real codec plugs in).
+
+Scale notes: media payloads dominate block size, so stages run with
+small ``batch_size`` (64) and the payload column is dropped as soon
+as a stage no longer needs it (decode keeps it for the resizer;
+features drop it). At 100 TB the fetch stage becomes a ranged read
+against object storage keyed by ``media_ref``; everything downstream
+is unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_ITEM_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("span_seq", pa.int32()),       # position in the document's span list
+    ("kind", pa.string()),
+    ("media_ref", pa.string()),
+    ("payload", pa.binary()),
+])
+
+_MAGIC = b"SYNM"                    # synthetic-media payload marker
+
+
+# --------------------------------------------------------------------------
+# fetch: documents → one row per media span, with payload bytes
+# --------------------------------------------------------------------------
+
+def _payload_for(ref: str) -> bytes:
+    """Deterministic opaque payload for a media_ref.
+
+    Layout: MAGIC | 12 header bytes (blake2b of ref) | body. The header
+    bytes are what the fake decoders parse; a real fetch stage returns
+    whatever object storage holds and real codecs parse that instead.
+    """
+    h = hashlib.blake2b(ref.encode(), digest_size=12).digest()
+    body = hashlib.blake2b(ref.encode(), digest_size=64,
+                           person=b"mediabdy").digest()
+    return _MAGIC + h + body * 4
+
+
+def _explode_media(batch: pa.Table) -> pa.Table:
+    doc_ids = batch.column("doc_id").to_pylist()
+    span_lists = batch.column("spans").to_pylist()
+    out = {k: [] for k in ("doc_id", "span_seq", "kind", "media_ref")}
+    payloads = []
+    for did, spans in zip(doc_ids, span_lists):
+        for seq, sp in enumerate(spans):
+            if sp["kind"] == "text":
+                continue
+            out["doc_id"].append(did)
+            out["span_seq"].append(seq)
+            out["kind"].append(sp["kind"])
+            out["media_ref"].append(sp["media_ref"])
+            payloads.append(_payload_for(sp["media_ref"]))
+    return pa.Table.from_arrays(
+        [pa.array(out["doc_id"], pa.string()),
+         pa.array(out["span_seq"], pa.int32()),
+         pa.array(out["kind"], pa.string()),
+         pa.array(out["media_ref"], pa.string()),
+         pa.array(payloads, pa.binary())],
+        schema=MEDIA_ITEM_SCHEMA)
+
+
+def extract_media(documents):
+    """documents → media-items Dataset (stateless flat explode)."""
+    return documents.map_batches(_explode_media, batch_format="pyarrow",
+                                 batch_size=256)
+
+
+# --------------------------------------------------------------------------
+# decode: payload → typed metadata (actor pool; codec = per-actor state)
+# --------------------------------------------------------------------------
+
+def _fake_decode_image(header: bytes) -> tuple[int, int, int]:
+    w = 64 + (int.from_bytes(header[0:2], "big") % 1985)
+    h = 64 + (int.from_bytes(header[2:4], "big") % 1985)
+    channels = 1 + (header[4] % 4)
+    return w, h, channels
+
+
+def _fake_decode_audio(header: bytes) -> tuple[int, float]:
+    rate = (8000, 16000, 22050, 44100)[header[5] % 4]
+    duration = 0.5 + (int.from_bytes(header[6:8], "big") % 5950) / 100.0
+    return rate, duration
+
+
+def _fake_decode_table(header: bytes) -> tuple[int, int]:
+    return 1 + header[8] % 200, 1 + header[9] % 30   # rows, cols
+
+
+class MediaDecoder:
+    """payload bytes → typed metadata columns.
+
+    Real codecs (PIL / soundfile / ffmpeg) load once per actor here;
+    the fake path validates the synthetic magic and parses the header.
+    """
+
+    def __init__(self):
+        try:                                # real codec, if present
+            import PIL.Image                # noqa: F401
+            self._pil = True
+        except Exception:
+            self._pil = False
+
+    def _decode(self, kind: str, payload: bytes):
+        if payload[:4] != _MAGIC:
+            # a real payload reached the stub — the real-codec seam
+            raise NotImplementedError(
+                "non-synthetic media payload; plug a real codec into "
+                "MediaDecoder._decode")
+        hdr = payload[4:16]
+        w = h = ch = rows = cols = 0
+        rate, dur = 0, 0.0
+        if kind == "image":
+            w, h, ch = _fake_decode_image(hdr)
+        elif kind == "audio":
+            rate, dur = _fake_decode_audio(hdr)
+        elif kind == "table":
+            rows, cols = _fake_decode_table(hdr)
+        return w, h, ch, rate, dur, rows, cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch.column("kind").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        meta = [self._decode(k, p) for k, p in zip(kinds, payloads)]
+        cols = list(zip(*meta)) if meta else [[]] * 7
+        names = ["width", "height", "channels", "sample_rate",
+                 "duration_s", "n_rows", "n_cols"]
+        types = [pa.int32(), pa.int32(), pa.int32(), pa.int32(),
+                 pa.float64(), pa.int32(), pa.int32()]
+        for nm, ty, vals in zip(names, types, cols):
+            batch = batch.append_column(nm, pa.array(list(vals), ty))
+        return batch
+
+
+def decode(media_items, *, concurrency=None, batch_size: int = 64):
+    if concurrency is None:
+        from ..runtime import pool_size
+        concurrency = pool_size()
+    return media_items.map_batches(
+        MediaDecoder, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+# --------------------------------------------------------------------------
+# resize (images): decoded rows → thumbnail payloads (actor pool)
+# --------------------------------------------------------------------------
+
+class ImageResizer:
+    """Deterministic stand-in for a thumbnailer: emits a payload whose
+    length tracks the target area and metadata updated to the target
+    box (aspect-preserving fit), which is the real contract."""
+
+    def __init__(self, max_side: int = 256):
+        self.max_side = max_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        mask = pc.equal(batch.column("kind"), "image")
+        imgs = batch.filter(mask)
+        w = imgs.column("width").to_pylist()
+        h = imgs.column("height").to_pylist()
+        refs = imgs.column("media_ref").to_pylist()
+        new_w, new_h, thumbs = [], [], []
+        for wi, hi, ref in zip(w, h, refs):
+            scale = min(1.0, self.max_side / max(wi, hi))
+            nw, nh = max(1, int(wi * scale)), max(1, int(hi * scale))
+            new_w.append(nw)
+            new_h.append(nh)
+            raw = hashlib.blake2b(f"{ref}|{nw}x{nh}".encode(),
+                                  digest_size=32).digest()
+            thumbs.append(raw * max(1, (nw * nh) // 2048))
+        out = imgs.drop_columns(["payload", "width", "height"])
+        out = out.append_column("width", pa.array(new_w, pa.int32()))
+        out = out.append_column("height", pa.array(new_h, pa.int32()))
+        return out.append_column("payload", pa.array(thumbs, pa.binary()))
+
+
+def resize_images(decoded, *, max_side: int = 256, concurrency=None,
+                  batch_size: int = 64):
+    if concurrency is None:
+        from ..runtime import pool_size
+        concurrency = pool_size()
+    return decoded.map_batches(
+        ImageResizer, fn_constructor_kwargs={"max_side": max_side},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+# --------------------------------------------------------------------------
+# frame/clip sampling (audio): one row per sampled window
+# --------------------------------------------------------------------------
+
+def sample_frames(decoded, *, every_s: float = 1.0, max_frames: int = 16,
+                  batch_size: int = 64):
+    """audio rows → one row per sampled window (stateless flat-map):
+    (doc_id, media_ref, frame_idx, t_start, t_end)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        aud = batch.filter(pc.equal(batch.column("kind"), "audio"))
+        doc = aud.column("doc_id").to_pylist()
+        ref = aud.column("media_ref").to_pylist()
+        dur = aud.column("duration_s").to_pylist()
+        o_doc, o_ref, o_idx, o_t0, o_t1 = [], [], [], [], []
+        for d, r, du in zip(doc, ref, dur):
+            n = min(max_frames, max(1, int(du / every_s)))
+            for fi in range(n):
+                o_doc.append(d)
+                o_ref.append(r)
+                o_idx.append(fi)
+                o_t0.append(fi * every_s)
+                o_t1.append(min(du, (fi + 1) * every_s))
+        return pa.table({
+            "doc_id": pa.array(o_doc, pa.string()),
+            "media_ref": pa.array(o_ref, pa.string()),
+            "frame_idx": pa.array(o_idx, pa.int32()),
+            "t_start": pa.array(o_t0, pa.float64()),
+            "t_end": pa.array(o_t1, pa.float64())})
+
+    return decoded.map_batches(fn, batch_format="pyarrow",
+                               batch_size=batch_size)
+
+
+# --------------------------------------------------------------------------
+# feature extraction: payload → embedding (actor pool, batched "model")
+# --------------------------------------------------------------------------
+
+class MediaFeaturizer:
+    """payload → unit-norm float32 embedding of dim ``dim``.
+
+    Deterministic stand-in for a vision/audio encoder: expands the
+    payload digest into ``dim`` floats. Batched like a real model
+    forward pass (one vectorized op per batch, not per row)."""
+
+    def __init__(self, dim: int = 64):
+        self.dim = dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        n = len(payloads)
+        raw = np.empty((n, self.dim), dtype=np.float32)
+        nbytes = self.dim * 4
+        for i, p in enumerate(payloads):
+            d = hashlib.blake2b(p, digest_size=32).digest()
+            buf = (d * ((nbytes // 32) + 1))[:nbytes]
+            raw[i] = np.frombuffer(buf, dtype=np.uint32).astype(
+                np.float32) / np.float32(2 ** 32) - np.float32(0.5)
+        norms = np.linalg.norm(raw, axis=1, keepdims=True)
+        raw = raw / np.maximum(norms, 1e-9)
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(raw.reshape(-1), pa.float32()), self.dim)
+        return batch.drop_columns(["payload"]).append_column(
+            "embedding", emb)
+
+
+def featurize_media(media_items, *, dim: int = 64, concurrency=None,
+                    batch_size: int = 64):
+    if concurrency is None:
+        from ..runtime import pool_size
+        concurrency = pool_size()
+    return media_items.map_batches(
+        MediaFeaturizer, fn_constructor_kwargs={"dim": dim},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)

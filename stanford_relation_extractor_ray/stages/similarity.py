@@ -48,7 +48,8 @@ def topk_cosine(ds, query_vec, k: int = 10, *,
         part = np.argpartition(-sims, take - 1)[:take]
         return pa.table({id_col: ids[part], "cosine": sims[part]})
 
-    partials = ds.map_batches(batch_topk, batch_format="pyarrow")
+    partials = ds.map_batches(batch_topk, batch_format="pyarrow",
+                              batch_size=4096)
     # select/sort on UNROUNDED values (matches an exact oracle's ORDER
     # BY); round only the reported column at the very end
     out = partials.sort(["cosine", id_col],

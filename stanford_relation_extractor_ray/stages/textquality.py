@@ -40,7 +40,7 @@ def add_token_counts(ds, text_col: str = "text"):
         return (batch.append_column("n_tokens", pa.array(ws))
                 .append_column("n_bpe_tokens", pa.array(bpe)))
 
-    return ds.map_batches(counts, batch_format="pyarrow")
+    return ds.map_batches(counts, batch_format="pyarrow", batch_size=4096)
 
 
 def add_quality(ds, text_col: str = "text"):
@@ -71,7 +71,7 @@ def add_quality(ds, text_col: str = "text"):
                 .append_column("quality_score",
                                pa.array(score, pa.float64())))
 
-    return ds.map_batches(quality, batch_format="pyarrow")
+    return ds.map_batches(quality, batch_format="pyarrow", batch_size=4096)
 
 
 class LangId:
@@ -99,7 +99,7 @@ class LangId:
 
 def add_lang_id(ds, concurrency=(1, 4)):
     return ds.map_batches(LangId, batch_format="pyarrow",
-                          concurrency=concurrency)
+                          batch_size=4096, concurrency=concurrency)
 
 
 def add_fingerprint(ds, text_col: str = "text"):
@@ -120,7 +120,7 @@ def add_fingerprint(ds, text_col: str = "text"):
                 .append_column("rolling_fp",
                                pa.array(np.array(rolls, dtype=np.uint64))))
 
-    return ds.map_batches(fp, batch_format="pyarrow")
+    return ds.map_batches(fp, batch_format="pyarrow", batch_size=4096)
 
 
 def hash_word(w: str) -> int:

@@ -81,3 +81,18 @@ def test_checkpoint_resume(ray_session, tmp_path):
     t2 = {(r["subj"], r["pred"], r["obj"])
           for r in out2["fills"].take_all()}
     assert t1 == t2
+
+
+def test_fast_path_equals_bag_path(ray_session):
+    """CandidateScorer partial noisy-or == bag assembly + bag scorer
+    (noisy-or distributes over bag partitions)."""
+    from stanford_relation_extractor_ray.pipelines.kg import (
+        extract_fills, finalize_fills)
+    fast = finalize_fills(
+        extract_fills(documents_dataset(120))).take_all()
+    bag = finalize_fills(
+        extract_fills(documents_dataset(120), use_bags=True)).take_all()
+    key = lambda r: (r["subj"], r["pred"], r["obj"])
+    fast_scores = {key(r): round(r["score"], 9) for r in fast}
+    bag_scores = {key(r): round(r["score"], 9) for r in bag}
+    assert fast_scores == bag_scores
