@@ -75,24 +75,33 @@ def _surface_table(fills) -> pa.Table:
             .aggregate(Sum("weight", alias_name="weight")))
 
 
-def _pairs_in_block(group: pa.Table) -> pa.Table:
-    """Pairwise linker scoring within one block → same-entity pairs."""
+def _pairs_in_partition(group: pa.Table) -> pa.Table:
+    """One coarse partition of blocks: bucket by block key locally,
+    pairwise linker scoring within each block → same-entity pairs.
+    (One Ray group per block would pay per-group overhead on thousands
+    of tiny blocks; a partition holds many whole blocks.)"""
     names = group.column("name").to_pylist()
     types = group.column("type").to_pylist()
+    blocks = group.column("block").to_pylist()
+    by_block: dict[str, list[int]] = {}
+    for i, blk in enumerate(blocks):
+        by_block.setdefault(blk, []).append(i)
     out_a, out_b, out_t = [], [], []
-    order = sorted(range(len(names)), key=lambda i: (names[i], types[i]))
-    for ii in range(len(order)):
-        i = order[ii]
-        for jj in range(ii + 1, len(order)):
-            j = order[jj]
-            if types[i] != types[j] or names[i] == names[j]:
-                continue
-            if same_entity(names[i], names[j], types[i]) \
-                    or is_acronym_of(names[i], names[j]) \
-                    or is_acronym_of(names[j], names[i]):
-                out_a.append(names[i])
-                out_b.append(names[j])
-                out_t.append(types[i])
+    for blk in sorted(by_block):
+        idx = by_block[blk]
+        order = sorted(idx, key=lambda i: (names[i], types[i]))
+        for ii in range(len(order)):
+            i = order[ii]
+            for jj in range(ii + 1, len(order)):
+                j = order[jj]
+                if types[i] != types[j] or names[i] == names[j]:
+                    continue
+                if same_entity(names[i], names[j], types[i]) \
+                        or is_acronym_of(names[i], names[j]) \
+                        or is_acronym_of(names[j], names[i]):
+                    out_a.append(names[i])
+                    out_b.append(names[j])
+                    out_t.append(types[i])
     return pa.table({"a": pa.array(out_a, pa.string()),
                      "b": pa.array(out_b, pa.string()),
                      "type": pa.array(out_t, pa.string())})
@@ -104,27 +113,64 @@ def canonical_map(fills) -> tuple[dict, dict]:
     Blocking groupby + pairwise linking distributed; union-find over the
     resulting (small) same-entity edge list on the driver.
     """
-    surfaces = _surface_table(fills)
-
-    def explode_blocks(batch: pa.Table) -> pa.Table:
-        names = batch.column("name").to_pylist()
-        types = batch.column("type").to_pylist()
-        bn, bt, bb = [], [], []
-        for n, t in zip(names, types):
-            for blk in _blocks_of(n):
-                bn.append(n)
-                bt.append(t)
-                bb.append(f"{t}:{blk}")
-        return pa.table({"name": pa.array(bn, pa.string()),
-                         "type": pa.array(bt, pa.string()),
-                         "block": pa.array(bb, pa.string())})
-
-    pairs = (surfaces.map_batches(explode_blocks, batch_format="pyarrow")
-             .groupby("block").map_groups(_pairs_in_block,
-                                          batch_format="pyarrow"))
-    pair_rows = pairs.take_all()            # same-entity edges: tiny
+    # The distinct-surfaces table is bounded by the entity universe,
+    # not the corpus — usually small even at huge doc counts. One
+    # distributed pre-aggregated scan produces it; if it is small
+    # (< SMALL_SURFACES rows) the blocking + pairwise linking runs
+    # driver-side in the same process (saves two whole Ray executions
+    # of fixed ~1 s latency each on tiny data); above the threshold
+    # the identical logic runs as a distributed blocking groupby.
+    SMALL_SURFACES = 100_000
+    surface_rows = _surface_table(fills).take_all()
     weights = {(r["name"], r["type"]): r["weight"]
-               for r in surfaces.take_all()}
+               for r in surface_rows}
+
+    if len(surface_rows) <= SMALL_SURFACES:
+        by_block: dict[str, list[tuple[str, str]]] = {}
+        for (n, t) in weights:
+            for blk in _blocks_of(n):
+                by_block.setdefault(f"{t}:{blk}", []).append((n, t))
+        pair_rows = []
+        for blk in sorted(by_block):
+            members = sorted(by_block[blk])
+            for ii in range(len(members)):
+                a, ta = members[ii]
+                for jj in range(ii + 1, len(members)):
+                    b, tb = members[jj]
+                    if ta != tb or a == b:
+                        continue
+                    if same_entity(a, b, ta) or is_acronym_of(a, b) \
+                            or is_acronym_of(b, a):
+                        pair_rows.append(
+                            {"a": a, "b": b, "type": ta})
+    else:
+        import ray.data as rd
+
+        from ..runtime import cluster_cpus
+        n_parts = max(16, cluster_cpus() * 4)
+        surfaces = rd.from_items(
+            [{"name": n, "type": t} for (n, t) in weights])
+
+        def explode_blocks(batch: pa.Table) -> pa.Table:
+            names = batch.column("name").to_pylist()
+            types = batch.column("type").to_pylist()
+            bn, bt, bb, bp = [], [], [], []
+            for n, t in zip(names, types):
+                for blk in _blocks_of(n):
+                    bn.append(n)
+                    bt.append(t)
+                    bb.append(f"{t}:{blk}")
+                    bp.append(zlib.crc32(bb[-1].encode()) % n_parts)
+            return pa.table({"name": pa.array(bn, pa.string()),
+                             "type": pa.array(bt, pa.string()),
+                             "block": pa.array(bb, pa.string()),
+                             "pid": pa.array(bp, pa.int32())})
+
+        pairs = (surfaces
+                 .map_batches(explode_blocks, batch_format="pyarrow")
+                 .groupby("pid").map_groups(_pairs_in_partition,
+                                            batch_format="pyarrow"))
+        pair_rows = pairs.take_all()        # same-entity edges: tiny
 
     parent: dict[tuple, tuple] = {}
 

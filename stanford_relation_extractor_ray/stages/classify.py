@@ -316,28 +316,30 @@ TRIPLE_KEY = ["subj", "subj_type", "pred", "obj", "obj_type"]
 def combine_fills(fills):
     """Per-triple noisy-or combine across partial fills.
 
-    One group per triple would pay Python per-group overhead (measured:
-    the dominant *serial* cost at 80k docs, flattening the 8→32-CPU
-    scaling curve). Instead rows are routed to ``pid = hash(triple) %
-    (4·CPUs)`` coarse partitions and each partition is merged with
-    C-speed pandas groupby kernels (prod for the noisy-or, sorted
-    drop_duplicates for best-provenance selection).
+    Two-level combine, both levels C-speed pandas kernels (prod for
+    the noisy-or, sorted drop_duplicates for best-provenance
+    selection — noisy-or is associative so local-then-global merging
+    is exact):
+
+    1. ``local_combine`` — map-side pre-aggregation over ~64k-row
+       windows of partial fills. Hot triples recur in nearly every
+       extract task's output, so this collapses the shuffle input by
+       the window/task ratio (measured 2.5M → ~0.3M rows at 2M docs).
+       It also assigns ``pid = hash(triple) % (4·CPUs)`` with a
+       vectorized hash — the previous per-row Python crc32 loop was
+       ~2/3 of a 10.6 s combine phase.
+    2. shuffle on the COARSE pid (O(CPUs) groups, not O(triples)) and
+       a final per-partition merge.
     """
+    import numpy as np
     import pandas as pd
 
     from ..runtime import cluster_cpus
     n_parts = max(16, cluster_cpus() * 4)
 
-    def add_pid(batch: pa.Table) -> pa.Table:
-        cols = [batch.column(c).to_pylist() for c in TRIPLE_KEY]
-        pid = pa.array(
-            [zlib.crc32("|".join(vals).encode()) % n_parts
-             for vals in zip(*cols)], pa.int32())
-        return batch.append_column("pid", pid)
-
-    def merge_partition(df: pd.DataFrame) -> pd.DataFrame:
-        has_ps = "prov_score" in df.columns
-        ps = df["prov_score"] if has_ps else df["score"]
+    def _merge(df: pd.DataFrame, keep_cols: list) -> pd.DataFrame:
+        ps = df["prov_score"] if "prov_score" in df.columns \
+            else df["score"]
         df = df.assign(_om=1.0 - df["score"], _ps=ps)
         # best provenance first within each triple
         df = df.sort_values(TRIPLE_KEY + ["_ps", "doc_id", "sent_idx"],
@@ -347,11 +349,25 @@ def combine_fills(fills):
         first = df.drop_duplicates(TRIPLE_KEY, keep="first") \
             .set_index(TRIPLE_KEY)
         first["score"] = 1.0 - merged
-        out = first.reset_index()[
-            [n for n in FILLS_SCHEMA.names]]
+        first["prov_score"] = first["_ps"]
+        return first.reset_index()[keep_cols]
+
+    part_cols = list(FILLS_SCHEMA.names) + ["prov_score"]
+
+    def local_combine(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(columns=part_cols + ["pid"])
+        out = _merge(df, part_cols)
+        key = out["subj"].str.cat([out[c] for c in TRIPLE_KEY[1:]],
+                                  sep="|")
+        out["pid"] = (pd.util.hash_pandas_object(key, index=False)
+                      .to_numpy() % n_parts).astype(np.int32)
         return out
 
-    return (fills.map_batches(add_pid, batch_format="pyarrow",
+    def merge_partition(df: pd.DataFrame) -> pd.DataFrame:
+        return _merge(df, list(FILLS_SCHEMA.names))
+
+    return (fills.map_batches(local_combine, batch_format="pandas",
                               batch_size=65536)
             .groupby("pid")
             .map_groups(merge_partition, batch_format="pandas")

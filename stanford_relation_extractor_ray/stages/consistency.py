@@ -40,10 +40,8 @@ def _value_dup(a: str, b: str, obj_type: str) -> bool:
     return False
 
 
-def consistent_group(group: pa.Table) -> pa.Table:
-    rows = [dict(zip(group.column_names, vals))
-            for vals in zip(*(group.column(c).to_pylist()
-                              for c in group.column_names))]
+def _greedy(rows: list[dict]) -> list[dict]:
+    """The per-entity greedy filterStep over row dicts (sorted here)."""
     rows.sort(key=lambda r: (-r["score"], r["obj"].count(" "),
                              r["obj"], r["pred"]))
     accepted: list[dict] = []
@@ -71,6 +69,10 @@ def consistent_group(group: pa.Table) -> pa.Table:
                 break
         if ok:
             accepted.append(r)
+    return accepted
+
+
+def _rows_to_table(accepted: list[dict]) -> pa.Table:
     if not accepted:
         return FILLS_SCHEMA.empty_table()
     return pa.Table.from_arrays(
@@ -79,7 +81,45 @@ def consistent_group(group: pa.Table) -> pa.Table:
         schema=FILLS_SCHEMA)
 
 
+def consistent_group(group: pa.Table) -> pa.Table:
+    """One entity's fills → its consistent fills (test surface)."""
+    rows = [dict(zip(group.column_names, vals))
+            for vals in zip(*(group.column(c).to_pylist()
+                              for c in group.column_names))]
+    return _rows_to_table(_greedy(rows))
+
+
 def enforce(fills):
-    """fills Dataset → consistent fills Dataset (per-entity groups)."""
-    return fills.groupby("subj").map_groups(consistent_group,
-                                            batch_format="pyarrow")
+    """fills Dataset → consistent fills Dataset.
+
+    The greedy pass is per-entity, but one Ray group per entity pays
+    per-group overhead on thousands of tiny groups. Rows are routed to
+    ``pid = hash(subj) % (4·CPUs)`` coarse partitions (every fill of an
+    entity lands in one partition, which is the only property the
+    greedy pass needs); each partition buckets by subject locally.
+    """
+    import pandas as pd
+
+    from ..runtime import cluster_cpus
+    n_parts = max(16, cluster_cpus() * 4)
+
+    def add_pid(batch: pa.Table) -> pa.Table:
+        s = batch.column("subj").to_pandas()
+        pid = (pd.util.hash_pandas_object(s, index=False)
+               .to_numpy() % n_parts).astype("int32")
+        return batch.append_column("pid", pa.array(pid))
+
+    def run_partition(group: pa.Table) -> pa.Table:
+        names = [n for n in group.column_names if n != "pid"]
+        by_subj: dict[str, list[dict]] = {}
+        for vals in zip(*(group.column(c).to_pylist() for c in names)):
+            r = dict(zip(names, vals))
+            by_subj.setdefault(r["subj"], []).append(r)
+        accepted: list[dict] = []
+        for subj in sorted(by_subj):
+            accepted.extend(_greedy(by_subj[subj]))
+        return _rows_to_table(accepted)
+
+    return (fills.map_batches(add_pid, batch_format="pyarrow")
+            .groupby("pid")
+            .map_groups(run_partition, batch_format="pyarrow"))

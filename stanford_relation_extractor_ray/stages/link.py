@@ -109,15 +109,36 @@ class EntityLinker:
                                     names=list(cols.keys()))
 
 
+_WORKER_LINKERS: dict = {}
+
+
+def _cached_linker(aliases_ref, seed: int) -> EntityLinker:
+    key = (aliases_ref.hex() if hasattr(aliases_ref, "hex") else None,
+           seed)
+    linker = _WORKER_LINKERS.get(key)
+    if linker is None:
+        linker = EntityLinker(aliases_ref, seed)
+        _WORKER_LINKERS.clear()      # one corpus per worker in practice
+        _WORKER_LINKERS[key] = linker
+    return linker
+
+
 def link(ds, *, aliases_ref=None, seed: int = 42,
          concurrency=None, batch_size: int = 4096):
     """Link a candidates dataset (subjects) or a fills dataset
-    (subjects + objects; detected via the ``pred`` column)."""
-    if concurrency is None:
-        from ..runtime import pool_size
-        concurrency = pool_size(share=0.1, num_cpus=0.5)
-    return ds.map_batches(
-        EntityLinker,
-        fn_constructor_kwargs={"aliases_ref": aliases_ref, "seed": seed},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=0.5)
+    (subjects + objects; detected via the ``pred`` column).
+
+    Stateless tasks, not an actor pool: the alias dictionary is built
+    once per WORKER PROCESS (module cache above — Ray reuses worker
+    processes across tasks) from the broadcast ``aliases_ref``. A
+    dedicated pool here reserved CPUs for the whole pipeline lifetime
+    and added ~1 s of pool spin-up to every run, while the post-combine
+    fills table this stage usually sees is tiny; plain tasks use
+    whatever CPUs the moment offers. ``concurrency`` is accepted for
+    API compatibility and ignored.
+    """
+    def fn(batch: pa.Table) -> pa.Table:
+        return _cached_linker(aliases_ref, seed)(batch)
+
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          batch_size=batch_size)

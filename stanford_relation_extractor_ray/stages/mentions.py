@@ -83,6 +83,60 @@ def pair_mentions(batch: pa.Table) -> pa.Table:
         schema=CANDIDATES_SCHEMA)
 
 
+def pair_candidates_fused(annotator, batch: pa.Table) -> pa.Table:
+    """Fused path: documents batch → candidates table directly, no
+    intermediate Arrow sentences table and no per-mention dicts
+    (mention tuples come from ``NLPAnnotator.iter_sentences``). Same
+    pairing semantics as ``pair_mentions`` — equality is pinned by
+    tests/test_pipeline_e2e.py::test_fast_path_equals_bag_path."""
+    cols: dict[str, list] = {n: [] for n in CANDIDATES_SCHEMA.names}
+    for doc_id, sent_idx, tokens, mentions in \
+            annotator.iter_sentences(batch):
+        if len(mentions) < 2:
+            continue
+        best: dict[tuple, tuple] = {}
+        for em in mentions:
+            e_surf, e_ner, e_b, e_e, e_ante = em
+            if e_ner != "PERSON" and e_ner != "ORGANIZATION":
+                continue
+            subj_surface = e_ante or e_surf
+            for sm in mentions:
+                if sm is em or sm[4]:
+                    continue                  # slot can't be a pronoun
+                s_b, s_e = sm[2], sm[3]
+                if e_e <= s_b:
+                    gap = s_b - e_e
+                elif s_e <= e_b:
+                    gap = e_b - s_e
+                else:
+                    continue                  # overlapping spans
+                if gap > MAX_DISTANCE:
+                    continue
+                key = (subj_surface, sm[0])
+                prev = best.get(key)
+                if prev is not None and prev[0] <= gap:
+                    continue
+                lo, hi = (e_e, s_b) if e_e <= s_b else (s_e, e_b)
+                between = " ".join(tokens[lo:hi])
+                best[key] = (gap, em, sm, subj_surface, between)
+        for gap, em, sm, subj_surface, between in best.values():
+            cols["subj"].append(subj_surface)
+            cols["subj_type"].append(em[1])
+            cols["obj"].append(sm[0])
+            cols["obj_type"].append(sm[1])
+            cols["doc_id"].append(doc_id)
+            cols["sent_idx"].append(sent_idx)
+            cols["subj_begin"].append(em[2])
+            cols["subj_end"].append(em[3])
+            cols["obj_begin"].append(sm[2])
+            cols["obj_end"].append(sm[3])
+            cols["between"].append(between)
+    return pa.Table.from_arrays(
+        [pa.array(cols[n], t) for n, t in
+         zip(CANDIDATES_SCHEMA.names, CANDIDATES_SCHEMA.types)],
+        schema=CANDIDATES_SCHEMA)
+
+
 def pair(sentences, *, batch_size: int = 1024):
     """sentences Dataset → candidates Dataset (stateless tasks)."""
     return sentences.map_batches(pair_mentions, batch_format="pyarrow",
