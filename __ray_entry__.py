@@ -64,6 +64,68 @@ def _q_kg_triples(sf_dir: str):
                          "doc_id", "sent_idx"])
 
 
+def _kg_fills(sf_dir: str):
+    from stanford_relation_extractor_ray.corpus import documents_dataset
+    from stanford_relation_extractor_ray.pipelines.kg import (
+        extract_fills, finalize_fills)
+    n = 2000 if "0.01" in sf_dir else 200
+    return finalize_fills(extract_fills(documents_dataset(n)))
+
+
+def _q_kg_symmetric(sf_dir: str):
+    from stanford_relation_extractor_ray.stages import graph_infer
+    ds = graph_infer.symmetric_inverse_rewrite(
+        _kg_fills(sf_dir).materialize())
+    return (ds.select_columns(["subj", "pred", "obj"])
+            .sort(["subj", "pred", "obj"]))
+
+
+def _q_kg_transitive(sf_dir: str):
+    from stanford_relation_extractor_ray.stages import graph_infer
+    ds = graph_infer.transitive_infer(_kg_fills(sf_dir).materialize())
+    return (ds.select_columns(["subj", "pred", "obj"])
+            .sort(["subj", "pred", "obj"]))
+
+
+def _q_kg_eval(sf_dir: str):
+    """Scoring harness over the KG run: P/R/F1/AUC + optimal threshold
+    vs the deterministic gold triples (1-row result)."""
+    import pandas as pd
+    from stanford_relation_extractor_ray.corpus import gold_triple_set
+    from stanford_relation_extractor_ray.pipelines.evaluate import \
+        score_fills
+    n = 2000 if "0.01" in sf_dir else 200
+    rows = _kg_fills(sf_dir).take_all()
+    s = score_fills(rows, gold_triple_set(n))
+    return pd.DataFrame([{
+        "precision": round(s.precision, 6),
+        "recall": round(s.recall, 6), "f1": round(s.f1, 6),
+        "auc": round(s.auc, 6), "n_fills": len(rows)}])
+
+
+def _media_items(sf_dir: str):
+    from stanford_relation_extractor_ray.corpus import documents_dataset
+    from stanford_relation_extractor_ray.stages import media
+    n = 2000 if "0.01" in sf_dir else 200
+    return media.extract_media(documents_dataset(n))
+
+
+def _q_media_decode(sf_dir: str):
+    from stanford_relation_extractor_ray.stages import media
+    return (media.decode(_media_items(sf_dir))
+            .select_columns(["doc_id", "span_seq", "kind", "media_ref",
+                             "width", "height", "channels",
+                             "sample_rate", "n_rows", "n_cols"])
+            .sort("media_ref"))
+
+
+def _q_media_frames(sf_dir: str):
+    from stanford_relation_extractor_ray.stages import media
+    return media.sample_frames(
+        media.decode(_media_items(sf_dir))).sort(
+        ["media_ref", "frame_idx"])
+
+
 def _q_kg_graph_nodes(sf_dir: str):
     from stanford_relation_extractor_ray.corpus import documents_dataset
     from stanford_relation_extractor_ray.pipelines.kg import (
@@ -217,6 +279,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # knowledge-graph pipeline (non-SQL: rows-only check)
         "kg_triples": _q_kg_triples,
         "kg_nodes": _q_kg_graph_nodes,
+        "kg_symmetric_edges": _q_kg_symmetric,
+        "kg_transitive_edges": _q_kg_transitive,
+        "kg_eval_score": _q_kg_eval,
+        # multimodal stages (stubbed codecs; rows-only check)
+        "media_decode": _q_media_decode,
+        "media_frames": _q_media_frames,
     }
 
 

@@ -130,8 +130,10 @@ def run_kg(n_docs: int, *, seed: int = 42, model_ref=None,
     consistent = consistent.materialize()
     nodes, edges = build_graph(consistent)
     if out_dir is not None:
+        import ray.data as rd
+
+        from ..storage import write_table
         os.makedirs(out_dir, exist_ok=True)
-        edges.write_parquet(os.path.join(out_dir, "edges"))
-        pa.parquet.write_table(nodes, os.path.join(out_dir,
-                                                   "nodes.parquet"))
+        write_table(edges, os.path.join(out_dir, "edges"))
+        write_table(rd.from_arrow(nodes), os.path.join(out_dir, "nodes"))
     return {"fills": consistent, "nodes": nodes, "edges": edges}

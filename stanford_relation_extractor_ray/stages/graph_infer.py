@@ -1,0 +1,203 @@
+"""Graph inference over the fills/edges table (SURVEY.md §2.10, §2.8).
+
+Ray-Data shape of the reference's transitive & symmetric relation
+rewrites (``kbp/slotfilling/evaluate/GraphConsistencyPostProcessors.java:
+317-353`` transitive closure, ``:355-414`` symmetric rewrite) and the
+antecedent-matching Horn rules of ``evaluate/inference/
+SimpleGraphInferenceEngine.java`` restricted to length-2 paths:
+
+- ``symmetric_inverse_rewrite`` — per-row flat-map emitting the
+  mirrored/inverted edge for symmetric relations (spouse, siblings,
+  org membership) and inverse pairs (children↔parents,
+  subsidiaries↔parents), then an exact per-triple max-score combine.
+  No shuffle beyond the (small) triple combine.
+- ``transitive_infer`` — bounded-depth (length-2) rule application
+  ``A -p→ B, B -q→ C ⇒ A -head→ C`` as a hash-partitioned self-join:
+  left rows keyed by obj, right rows keyed by subj, one
+  ``groupby(join_pid)`` co-locates both sides, the joined edges get
+  score = s₁·s₂·damping. The join key is the bridge entity, so hot
+  bridges are bounded by the per-partition group; at corpus scale the
+  edges table is already aggregated (one row per triple), orders of
+  magnitude smaller than the corpus.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..schemas import FILLS_SCHEMA
+
+SYMMETRIC = frozenset({"per:spouse", "per:siblings"})
+INVERSES = {
+    "per:children": "per:parents",
+    "per:parents": "per:children",
+    "org:subsidiaries": "org:parents",
+    "org:parents": "org:subsidiaries",
+    "org:members": "org:member_of",
+    "org:member_of": "org:members",
+}
+REWRITE_DAMPING = 0.9
+
+# (p, q, head): A -p→ B and B -q→ C infer A -head→ C
+DEFAULT_RULES = (
+    ("org:parents", "org:parents", "org:parents"),
+    ("per:member_of", "org:member_of", "per:member_of"),
+)
+RULE_DAMPING = 0.8
+
+
+def _mirror_rows(batch: pa.Table) -> pa.Table:
+    names = FILLS_SCHEMA.names
+    cols = {n: batch.column(n).to_pylist() for n in names}
+    out = {n: list(cols[n]) for n in names}
+    n_rows = batch.num_rows
+    for i in range(n_rows):
+        pred = cols["pred"][i]
+        new_pred = pred if pred in SYMMETRIC else INVERSES.get(pred)
+        if new_pred is None:
+            continue
+        # mirrored edge only meaningful between two linked entities
+        if cols["obj_type"][i] not in ("PERSON", "ORGANIZATION"):
+            continue
+        out["subj"].append(cols["obj"][i])
+        out["subj_type"].append(cols["obj_type"][i])
+        out["pred"].append(new_pred)
+        out["obj"].append(cols["subj"][i])
+        out["obj_type"].append(cols["subj_type"][i])
+        out["score"].append(cols["score"][i] * REWRITE_DAMPING)
+        out["doc_id"].append(cols["doc_id"][i])
+        out["sent_idx"].append(cols["sent_idx"][i])
+        out["subj_span"].append(cols["obj_span"][i])
+        out["obj_span"].append(cols["subj_span"][i])
+    return pa.Table.from_arrays(
+        [pa.array(out[n], t) for n, t in
+         zip(FILLS_SCHEMA.names, FILLS_SCHEMA.types)],
+        schema=FILLS_SCHEMA)
+
+
+def _max_combine(fills):
+    """Exact per-triple combine keeping the highest-score row (the
+    original edge wins over a damped rewrite of itself). Coarse hash
+    partitions, same pattern as classify.combine_fills."""
+    import numpy as np
+    import pandas as pd
+
+    from ..runtime import cluster_cpus
+    from .classify import TRIPLE_KEY
+    n_parts = max(16, cluster_cpus() * 4)
+
+    def add_pid(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            df["pid"] = np.array([], dtype=np.int32)
+            return df
+        key = df["subj"].str.cat([df[c] for c in TRIPLE_KEY[1:]],
+                                 sep="|")
+        df["pid"] = (pd.util.hash_pandas_object(key, index=False)
+                     .to_numpy() % n_parts).astype(np.int32)
+        return df
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(TRIPLE_KEY + ["score", "doc_id", "sent_idx"],
+                            ascending=[True] * len(TRIPLE_KEY)
+                            + [False, True, True], kind="mergesort")
+        return df.drop_duplicates(TRIPLE_KEY, keep="first")[
+            list(FILLS_SCHEMA.names)]
+
+    return (fills.map_batches(add_pid, batch_format="pandas")
+            .groupby("pid")
+            .map_groups(best, batch_format="pandas")
+            .select_columns(FILLS_SCHEMA.names))
+
+
+def symmetric_inverse_rewrite(fills):
+    """fills → fills ∪ mirrored/inverted edges (max-score per triple)."""
+    return _max_combine(
+        fills.map_batches(_mirror_rows, batch_format="pyarrow"))
+
+
+def transitive_infer(fills, rules=DEFAULT_RULES,
+                     damping: float = RULE_DAMPING):
+    """fills → inferred length-2-path edges (NOT unioned with input;
+    callers union + combine as desired)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..runtime import cluster_cpus
+    n_parts = max(16, cluster_cpus() * 4)
+    left_preds = {p for p, _q, _h in rules}
+    right_preds = {q for _p, q, _h in rules}
+
+    def tag(batch: pa.Table) -> pa.Table:
+        """Emit one row per (edge, side) with the bridge-entity join
+        key: left rows bridge on obj, right rows on subj."""
+        names = FILLS_SCHEMA.names
+        cols = {n: batch.column(n).to_pylist() for n in names}
+        out = {n: [] for n in names}
+        sides, keys = [], []
+        for i in range(batch.num_rows):
+            pred = cols["pred"][i]
+            for side, pset, key in (
+                    ("L", left_preds, cols["obj"][i]),
+                    ("R", right_preds, cols["subj"][i])):
+                if pred in pset:
+                    for n in names:
+                        out[n].append(cols[n][i])
+                    sides.append(side)
+                    keys.append(key)
+        t = pa.Table.from_arrays(
+            [pa.array(out[n], ty) for n, ty in
+             zip(FILLS_SCHEMA.names, FILLS_SCHEMA.types)],
+            schema=FILLS_SCHEMA)
+        t = t.append_column("side", pa.array(sides, pa.string()))
+        t = t.append_column("bridge", pa.array(keys, pa.string()))
+        pid = pd.util.hash_pandas_object(
+            pd.Series(keys, dtype="object"), index=False).to_numpy() \
+            % n_parts if keys else np.array([], dtype=np.uint64)
+        return t.append_column("pid",
+                               pa.array(pid.astype("int32"), pa.int32()))
+
+    def join(group: pa.Table) -> pa.Table:
+        names = FILLS_SCHEMA.names
+        cols = {n: group.column(n).to_pylist() for n in names}
+        sides = group.column("side").to_pylist()
+        bridges = group.column("bridge").to_pylist()
+        lefts: dict[str, list[int]] = {}
+        rights: dict[str, list[int]] = {}
+        for i, (s, b) in enumerate(zip(sides, bridges)):
+            (lefts if s == "L" else rights).setdefault(b, []).append(i)
+        out = {n: [] for n in names}
+        seen = set()
+        for b in sorted(set(lefts) & set(rights)):
+            for li in lefts[b]:
+                for ri in rights[b]:
+                    for p, q, head in rules:
+                        if cols["pred"][li] != p \
+                                or cols["pred"][ri] != q:
+                            continue
+                        subj, obj = cols["subj"][li], cols["obj"][ri]
+                        if subj == obj:
+                            continue
+                        key = (subj, head, obj)
+                        if key in seen:
+                            continue
+                        seen.add(key)
+                        out["subj"].append(subj)
+                        out["subj_type"].append(cols["subj_type"][li])
+                        out["pred"].append(head)
+                        out["obj"].append(obj)
+                        out["obj_type"].append(cols["obj_type"][ri])
+                        out["score"].append(cols["score"][li]
+                                            * cols["score"][ri]
+                                            * damping)
+                        out["doc_id"].append(cols["doc_id"][li])
+                        out["sent_idx"].append(cols["sent_idx"][li])
+                        out["subj_span"].append(cols["subj_span"][li])
+                        out["obj_span"].append(cols["obj_span"][ri])
+        return pa.Table.from_arrays(
+            [pa.array(out[n], ty) for n, ty in
+             zip(FILLS_SCHEMA.names, FILLS_SCHEMA.types)],
+            schema=FILLS_SCHEMA)
+
+    return (fills.map_batches(tag, batch_format="pyarrow")
+            .groupby("pid")
+            .map_groups(join, batch_format="pyarrow"))

@@ -47,9 +47,10 @@ def test_parse_provenance():
 def test_read_candidate_sentences(ray_session, tmp_path):
     p = tmp_path / "cand.tsv"
     p.write_text(CAND_TSV)
-    rows = sources.read_candidate_sentences(str(p)).take_all()
+    rows = sorted(sources.read_candidate_sentences(str(p)).take_all(),
+                  key=lambda r: (r["entity_id"], r["relation"]))
     assert len(rows) == 3                    # bad line dropped
-    r = rows[0]
+    r = rows[1]                              # SF_ENT_001 / per:city_of_birth
     assert r["entity_id"] == "SF_ENT_001"
     assert r["doc_id"] == "AFP_ENG_20090531.0123"
     assert r["sent_idx"] == 4
