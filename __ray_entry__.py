@@ -110,6 +110,16 @@ def _media_items(sf_dir: str):
     return media.extract_media(documents_dataset(n))
 
 
+def _q_kg_alternate_names(sf_dir: str):
+    from stanford_relation_extractor_ray.corpus import documents_dataset
+    from stanford_relation_extractor_ray.pipelines.kg import \
+        extract_alternate_names
+    n = 2000 if "0.01" in sf_dir else 200
+    return (extract_alternate_names(documents_dataset(n))
+            .select_columns(["subj", "pred", "obj"])
+            .sort(["subj", "pred", "obj"]))
+
+
 def _q_media_decode(sf_dir: str):
     from stanford_relation_extractor_ray.stages import media
     return (media.decode(_media_items(sf_dir))
@@ -281,6 +291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes": _q_kg_graph_nodes,
         "kg_symmetric_edges": _q_kg_symmetric,
         "kg_transitive_edges": _q_kg_transitive,
+        "kg_alternate_names": _q_kg_alternate_names,
         "kg_eval_score": _q_kg_eval,
         # multimodal stages (stubbed codecs; rows-only check)
         "media_decode": _q_media_decode,

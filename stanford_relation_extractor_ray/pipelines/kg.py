@@ -65,11 +65,46 @@ def extract_fills(documents, *, seed: int = 42, aliases_ref=None,
                    model_ref=model_ref, concurrency=nlp_concurrency)
 
 
-def finalize_fills(fills, *, seed: int = 42, aliases_ref=None):
-    """raw fills → consistent, object-linked fills (global stages)."""
+def finalize_fills(fills, *, seed: int = 42, aliases_ref=None,
+                   fused: bool = True):
+    """raw fills → consistent, object-linked fills (global stages).
+
+    Default is the single-shuffle fused path
+    (``consistency.combine_enforce``); ``fused=False`` runs the
+    three-stage chain (combine → link → enforce) it is equivalent to.
+    """
+    if fused:
+        return consistency.combine_enforce(fills, aliases_ref=aliases_ref,
+                                           seed=seed)
     fills = classify.combine_fills(fills)
     fills = link.link(fills, aliases_ref=aliases_ref, seed=seed)
     return consistency.enforce(fills)
+
+
+def extract_alternate_names(documents, *, seed: int = 42,
+                            aliases_ref=None, min_sentences: int = 2):
+    """documents → per:/org:alternate_names fills from alias surfaces
+    observed in ≥ min_sentences distinct sentences (the
+    AlternateNamesExtractor path — stages/altnames.py)."""
+    from ..stages.altnames import alternate_name_fills
+    sentences = nlp.annotate(documents, seed=seed)
+    cands = mentions.pair(sentences)
+    cands = cands.map_batches(
+        lambda b: _linked_keep_raw(b, aliases_ref, seed),
+        batch_format="pyarrow")
+    return alternate_name_fills(cands, min_sentences=min_sentences)
+
+
+def _linked_keep_raw(batch, aliases_ref, seed):
+    from ..stages.link import EntityLinker, _WORKER_LINKERS
+    key = ("keepraw",
+           aliases_ref.hex() if hasattr(aliases_ref, "hex") else None,
+           seed)
+    linker = _WORKER_LINKERS.get(key)
+    if linker is None:
+        linker = EntityLinker(aliases_ref, seed, keep_raw=True)
+        _WORKER_LINKERS[key] = linker
+    return linker(batch)
 
 
 def build_graph(consistent_fills):

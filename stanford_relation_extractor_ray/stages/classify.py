@@ -82,10 +82,55 @@ class LRModel:
         return cls(d["weights"], d["bias"], [str(x) for x in d["labels"]])
 
 
+def ensemble_combine(components: list[dict], mode: str = "any") -> dict:
+    """Test-time combination of per-component bag classifications —
+    the reference's AGREE_* modes
+    (``EnsembleRelationExtractor.java:281-333``).
+
+    ``components``: one ``{relation: (score, best_i, best_s)}`` per
+    component classifier, in classifier-list order (AGREE_FIRST depends
+    on that order — SURVEY.md §2.11). Modes:
+
+    - ``any``  — every proposed relation; score = 1 − ∏(1−wᵢ) over the
+      proposing components (noisy-or).
+    - ``all``  — only relations every component proposed.
+    - ``most`` — only relations ≥ half the components proposed.
+    - ``two``  — only relations ≥ 2 components proposed.
+    - ``first``— the first component with any output wins outright.
+
+    Provenance = the proposing component with the highest weight.
+    """
+    n = len(components)
+    if mode == "first":
+        for comp in components:
+            if comp:
+                return dict(comp)
+        return {}
+    min_votes = {"any": 1, "two": 2, "most": (n + 1) // 2,
+                 "all": n}[mode]
+    by_rel: dict[str, list[tuple]] = {}
+    for comp in components:
+        for rel, hit in comp.items():
+            by_rel.setdefault(rel, []).append(hit)
+    out = {}
+    for rel, hits in by_rel.items():
+        if len(hits) < min_votes:
+            continue
+        om = 1.0
+        best = hits[0]
+        for h in hits:
+            om *= (1.0 - h[0])
+            if h[0] > best[0]:
+                best = h
+        out[rel] = (1.0 - om, best[1], best[2])
+    return out
+
+
 class EnsembleScorer:
     """Actor-pool batch transform: bags table → fills table."""
 
-    def __init__(self, model_ref=None):
+    def __init__(self, model_ref=None, mode: str = "any"):
+        self.mode = mode
         self.lr: LRModel | None = None
         if model_ref is not None:
             import ray
@@ -94,12 +139,10 @@ class EnsembleScorer:
             if d is not None:
                 self.lr = LRModel.from_dict(d)
 
-    def _score_bag(self, subj_type, obj_type, sent_features):
-        """→ {relation: (noisy_or_score, best_sent_i, best_sent_score)}"""
+    def _pattern_component(self, subj_type, obj_type, sent_features):
         per_rel: dict[str, list[tuple[int, float]]] = {}
-        # component 1: pattern matches per sentence
         for i, feats in enumerate(sent_features):
-            if f"order:SO" not in feats:
+            if "order:SO" not in feats:
                 continue
             between = next((f[8:] for f in feats
                             if f.startswith("between:")), "")
@@ -110,19 +153,25 @@ class EnsembleScorer:
             if rel is not None:
                 per_rel.setdefault(rel, []).append(
                     (i, PATTERN_SENT_SCORE))
-        # component 2: LR per-sentence Z probabilities
-        if self.lr is not None:
-            probs = self.lr.predict_proba(sent_features)
-            z = probs.argmax(axis=1)
-            for i, (zi, row) in enumerate(zip(z, probs)):
-                rel = self.lr.labels[zi]
-                if rel == NO_RELATION or row[zi] < LR_MIN_PROB:
-                    continue
-                spec = RELATIONS.get(rel)
-                if spec is None or obj_type not in spec.slot_types:
-                    continue
-                per_rel.setdefault(rel, []).append(
-                    (i, float(row[zi]) * LR_WEIGHT))
+        return self._noisy_or(per_rel)
+
+    def _lr_component(self, subj_type, obj_type, sent_features):
+        per_rel: dict[str, list[tuple[int, float]]] = {}
+        probs = self.lr.predict_proba(sent_features)
+        z = probs.argmax(axis=1)
+        for i, (zi, row) in enumerate(zip(z, probs)):
+            rel = self.lr.labels[zi]
+            if rel == NO_RELATION or row[zi] < LR_MIN_PROB:
+                continue
+            spec = RELATIONS.get(rel)
+            if spec is None or obj_type not in spec.slot_types:
+                continue
+            per_rel.setdefault(rel, []).append(
+                (i, float(row[zi]) * LR_WEIGHT))
+        return self._noisy_or(per_rel)
+
+    @staticmethod
+    def _noisy_or(per_rel: dict) -> dict:
         out = {}
         for rel, hits in per_rel.items():
             score = 1.0
@@ -133,6 +182,15 @@ class EnsembleScorer:
                     best_i, best_s = i, s
             out[rel] = (1.0 - score, best_i, best_s)
         return out
+
+    def _score_bag(self, subj_type, obj_type, sent_features):
+        """→ {relation: (combined_score, best_sent_i, best_sent_score)}"""
+        components = [self._pattern_component(subj_type, obj_type,
+                                              sent_features)]
+        if self.lr is not None:
+            components.append(self._lr_component(subj_type, obj_type,
+                                                 sent_features))
+        return ensemble_combine(components, self.mode)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols = {n: batch.column(n).to_pylist()
@@ -165,12 +223,13 @@ class EnsembleScorer:
 
 
 def classify(bags, *, model_ref=None, concurrency=None,
-             batch_size: int = 1024):
+             batch_size: int = 1024, mode: str = "any"):
     if concurrency is None:
         from ..runtime import pool_size
         concurrency = pool_size()
     return bags.map_batches(
-        EnsembleScorer, fn_constructor_kwargs={"model_ref": model_ref},
+        EnsembleScorer,
+        fn_constructor_kwargs={"model_ref": model_ref, "mode": mode},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
 
@@ -331,44 +390,56 @@ def combine_fills(fills):
     2. shuffle on the COARSE pid (O(CPUs) groups, not O(triples)) and
        a final per-partition merge.
     """
+    import pandas as pd
+
+    def merge_partition(df: pd.DataFrame) -> pd.DataFrame:
+        return merge_fills_df(df, list(FILLS_SCHEMA.names))
+
+    return (fills.map_batches(local_combine_factory(),
+                              batch_format="pandas", batch_size=65536)
+            .groupby("pid")
+            .map_groups(merge_partition, batch_format="pandas")
+            .select_columns(FILLS_SCHEMA.names))
+
+
+def merge_fills_df(df, keep_cols: list):
+    """Vectorized per-triple noisy-or merge of (partial) fills in one
+    pandas frame; keeps best provenance (highest prov_score, then
+    lowest doc_id/sent_idx)."""
+    ps = df["prov_score"] if "prov_score" in df.columns else df["score"]
+    df = df.assign(_om=1.0 - df["score"], _ps=ps)
+    df = df.sort_values(TRIPLE_KEY + ["_ps", "doc_id", "sent_idx"],
+                        ascending=[True] * len(TRIPLE_KEY)
+                        + [False, True, True], kind="mergesort")
+    merged = df.groupby(TRIPLE_KEY, sort=False)["_om"].prod()
+    first = df.drop_duplicates(TRIPLE_KEY, keep="first") \
+        .set_index(TRIPLE_KEY)
+    first["score"] = 1.0 - merged
+    first["prov_score"] = first["_ps"]
+    return first.reset_index()[keep_cols]
+
+
+def local_combine_factory(pid_cols: list | None = None):
+    """Map-side pre-combine fn: merge within the batch window, then
+    route to ``pid = hash(pid_cols) % (4·CPUs)`` (default: the full
+    triple key; pass ``["subj"]`` to co-locate whole subjects so a
+    downstream per-entity pass can share the same shuffle)."""
     import numpy as np
     import pandas as pd
 
     from ..runtime import cluster_cpus
     n_parts = max(16, cluster_cpus() * 4)
-
-    def _merge(df: pd.DataFrame, keep_cols: list) -> pd.DataFrame:
-        ps = df["prov_score"] if "prov_score" in df.columns \
-            else df["score"]
-        df = df.assign(_om=1.0 - df["score"], _ps=ps)
-        # best provenance first within each triple
-        df = df.sort_values(TRIPLE_KEY + ["_ps", "doc_id", "sent_idx"],
-                            ascending=[True] * len(TRIPLE_KEY)
-                            + [False, True, True], kind="mergesort")
-        merged = df.groupby(TRIPLE_KEY, sort=False)["_om"].prod()
-        first = df.drop_duplicates(TRIPLE_KEY, keep="first") \
-            .set_index(TRIPLE_KEY)
-        first["score"] = 1.0 - merged
-        first["prov_score"] = first["_ps"]
-        return first.reset_index()[keep_cols]
-
+    keys = pid_cols or TRIPLE_KEY
     part_cols = list(FILLS_SCHEMA.names) + ["prov_score"]
 
     def local_combine(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
             return pd.DataFrame(columns=part_cols + ["pid"])
-        out = _merge(df, part_cols)
-        key = out["subj"].str.cat([out[c] for c in TRIPLE_KEY[1:]],
-                                  sep="|")
+        out = merge_fills_df(df, part_cols)
+        key = out[keys[0]] if len(keys) == 1 else \
+            out[keys[0]].str.cat([out[c] for c in keys[1:]], sep="|")
         out["pid"] = (pd.util.hash_pandas_object(key, index=False)
                       .to_numpy() % n_parts).astype(np.int32)
         return out
 
-    def merge_partition(df: pd.DataFrame) -> pd.DataFrame:
-        return _merge(df, list(FILLS_SCHEMA.names))
-
-    return (fills.map_batches(local_combine, batch_format="pandas",
-                              batch_size=65536)
-            .groupby("pid")
-            .map_groups(merge_partition, batch_format="pandas")
-            .select_columns(FILLS_SCHEMA.names))
+    return local_combine

@@ -123,3 +123,53 @@ def enforce(fills):
     return (fills.map_batches(add_pid, batch_format="pyarrow")
             .groupby("pid")
             .map_groups(run_partition, batch_format="pyarrow"))
+
+
+def combine_enforce(partial_fills, *, aliases_ref=None, seed: int = 42):
+    """Fused per-triple noisy-or combine + object entity-linking +
+    per-entity greedy consistency in ONE shuffle.
+
+    Partials are routed by ``hash(subj)`` (not the triple key —
+    subjects are already canonical after extraction): a subject's
+    partition then holds every partial of every one of its triples, so
+    inside one ``map_groups`` call we can run, in exact unfused order,
+    (1) the associative noisy-or merge per RAW triple, (2) per-row
+    object linking (the per-worker cached linker), (3) the per-entity
+    greedy pass — which also dedups triples whose raw objects linked to
+    the same canonical, keeping the higher-scored one exactly as the
+    unfused ``combine_fills → link → enforce`` chain does. Replaces
+    two shuffles + three executions with one of each. Equality with
+    the unfused chain is pinned by tests/test_classify_consistency.py.
+    """
+    import pandas as pd
+
+    from .classify import local_combine_factory, merge_fills_df
+    from .link import _cached_linker
+
+    def run_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(FILLS_SCHEMA.names))
+        merged = merge_fills_df(df, list(FILLS_SCHEMA.names))
+        linker = _cached_linker(aliases_ref, seed)
+        obj = merged["obj"].tolist()
+        objt = merged["obj_type"].tolist()
+        pred = merged["pred"].tolist()
+        merged["obj"] = [
+            linker.resolve(o, t)
+            if t in ("PERSON", "ORGANIZATION")
+            and not p.endswith("alternate_names") else o
+            for o, t, p in zip(obj, objt, pred)]
+        accepted: list[dict] = []
+        for _subj, grp in merged.sort_values("subj").groupby(
+                "subj", sort=False):
+            accepted.extend(_greedy(grp.to_dict("records")))
+        if not accepted:
+            return pd.DataFrame(columns=list(FILLS_SCHEMA.names))
+        return pd.DataFrame(accepted)[list(FILLS_SCHEMA.names)]
+
+    return (partial_fills
+            .map_batches(local_combine_factory(["subj"]),
+                         batch_format="pandas", batch_size=65536)
+            .groupby("pid")
+            .map_groups(run_partition, batch_format="pandas")
+            .select_columns(FILLS_SCHEMA.names))

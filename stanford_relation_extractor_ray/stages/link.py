@@ -33,7 +33,9 @@ class EntityLinker:
 
     THRESHOLDS = {"PERSON": 0.49, "ORGANIZATION": 0.79}
 
-    def __init__(self, aliases_ref=None, seed: int = 42):
+    def __init__(self, aliases_ref=None, seed: int = 42,
+                 keep_raw: bool = False):
+        self.keep_raw = keep_raw
         if aliases_ref is not None:
             import ray
             alias_rows = ray.get(aliases_ref)
@@ -89,12 +91,18 @@ class EntityLinker:
         mirroring the reference's postprocessing-time linking) and the
         relation is not ``*:alternate_names`` — an alternate-name value IS
         the alias and must stay a surface form.
+
+        With ``self.keep_raw`` the pre-linking subject surface is kept
+        as a ``raw_subj`` column (alternate-names evidence,
+        stages/altnames.py).
         """
         subj = batch.column("subj").to_pylist()
         subj_t = batch.column("subj_type").to_pylist()
         new_subj = [self.resolve(s, t) for s, t in zip(subj, subj_t)]
         cols = {n: batch.column(n) for n in batch.column_names}
         cols["subj"] = pa.array(new_subj, pa.string())
+        if getattr(self, "keep_raw", False):
+            cols["raw_subj"] = pa.array(subj, pa.string())
         if "pred" in cols:
             obj = batch.column("obj").to_pylist()
             obj_t = batch.column("obj_type").to_pylist()
@@ -118,7 +126,6 @@ def _cached_linker(aliases_ref, seed: int) -> EntityLinker:
     linker = _WORKER_LINKERS.get(key)
     if linker is None:
         linker = EntityLinker(aliases_ref, seed)
-        _WORKER_LINKERS.clear()      # one corpus per worker in practice
         _WORKER_LINKERS[key] = linker
     return linker
 

@@ -63,6 +63,7 @@ def test_lr_component_gated_and_combined():
     model = LRModel(W, np.zeros(2), labels)
     scorer = EnsembleScorer.__new__(EnsembleScorer)
     scorer.lr = model
+    scorer.mode = "any"
     out = scorer(_bag("Robert Smith", "PERSON", "Toronto", "CITY",
                       [feats("hails from")]))
     rows = out.to_pylist()
@@ -148,3 +149,18 @@ def test_self_reference_dropped():
               obj_type="PERSON"),
     ])
     assert out == []
+
+
+def test_fused_combine_enforce_equals_unfused_chain(ray_session):
+    """combine_enforce (one shuffle) == combine_fills → link → enforce
+    (three stages) on the real pipeline's partial fills."""
+    from stanford_relation_extractor_ray.corpus import documents_dataset
+    from stanford_relation_extractor_ray.pipelines.kg import (
+        extract_fills, finalize_fills)
+    partials = extract_fills(documents_dataset(150)).materialize()
+    key = lambda r: (r["subj"], r["pred"], r["obj"])
+    fused = {key(r): round(r["score"], 9)
+             for r in finalize_fills(partials, fused=True).take_all()}
+    unfused = {key(r): round(r["score"], 9)
+               for r in finalize_fills(partials, fused=False).take_all()}
+    assert fused == unfused
