@@ -25,7 +25,10 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # latency (~4-5 s of barriers at any corpus size) — a 20k-doc run
 # measured overhead, not the engine.
 KG_DOCS = int(os.environ.get("GRAFT_KG_DOCS", "500000"))
-SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "2000000"))
+# scaling proxy corpus: big enough (~1.5-4.5 min/run) that the sandbox
+# VM's ±30-50% short-run steal noise averages out — measured efficiency
+# at 10M docs is stable vs wildly variable at 2M
+SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "10000000"))
 
 
 def _init_ray(num_cpus: int):
@@ -71,8 +74,7 @@ def main():
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                        GRAFT_KG_DOCS=str(SCALING_DOCS))
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--kg-only",
-                 "--repeat"],
+                [sys.executable, os.path.abspath(__file__), "--kg-only"],
                 env=env, capture_output=True, text=True, check=True,
                 cwd=os.path.dirname(os.path.abspath(__file__))).stdout
             return json.loads(out.strip().splitlines()[-1])

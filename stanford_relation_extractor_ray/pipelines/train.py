@@ -169,3 +169,58 @@ def train_model_ref(n_docs: int = 1500, seed: int = 42):
     """Train (or load cached) and broadcast the model."""
     import ray
     return ray.put(train_lr(n_docs, seed))
+
+
+def _sgd_lr(feats: list[list[int]], ys: np.ndarray, n_lab: int,
+            seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    W = np.zeros((HASH_DIM, n_lab), dtype=np.float32)
+    b = np.zeros(n_lab, dtype=np.float32)
+    lr = 0.5
+    n = len(feats)
+    for _epoch in range(EPOCHS):
+        order = rng.permutation(n)
+        for i in order:
+            idx = feats[i]
+            logits = b + (W[idx].sum(axis=0) if idx else 0.0)
+            logits -= logits.max()
+            p = np.exp(logits)
+            p /= p.sum()
+            p[ys[i]] -= 1.0
+            g = lr * p
+            b -= g
+            if idx:
+                W[idx] -= g
+        lr *= 0.8
+    return W, b
+
+
+def train_bagged(n_docs: int = 1500, seed: int = 42, k: int = 3,
+                 subsample: float = 0.7) -> list[dict]:
+    """Subagged ensemble: K LR components, each trained on a seeded
+    shuffled partition-with-redundancy of the examples (the
+    reference's BAGGING/SUBAGGING sample generation,
+    ``EnsembleRelationExtractor.java:194-252`` — seeded ``Random(p)``
+    per component; we pin the shuffle the Java leaves unseeded,
+    SURVEY.md §7.4). → list of LRModel dicts for
+    ``classify.EnsembleScorer``-style voting."""
+    examples = training_examples(n_docs, seed).materialize()
+    keep = feature_keep_set(examples)
+    rows = examples.take_all()
+
+    labels = [NO_RELATION] + RELATION_NAMES
+    lab_idx = {l: i for i, l in enumerate(labels)}
+    feats = [[int(h) for h in hash_features(r["features"])
+              if int(h) in keep] for r in rows]
+    ys = np.array([lab_idx[r["label"]] for r in rows], dtype=np.int64)
+    n = len(rows)
+    lab_arr = np.array(labels, dtype="U64")
+
+    models = []
+    for j in range(k):
+        rng = np.random.default_rng((seed << 8) ^ j)
+        take = rng.permutation(n)[: max(1, int(n * subsample))]
+        W, b = _sgd_lr([feats[i] for i in take], ys[take],
+                       len(labels), seed + j)
+        models.append({"weights": W, "bias": b, "labels": lab_arr})
+    return models
