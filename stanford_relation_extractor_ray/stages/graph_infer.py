@@ -115,6 +115,55 @@ def symmetric_inverse_rewrite(fills):
         fills.map_batches(_mirror_rows, batch_format="pyarrow"))
 
 
+def intersect_fills(fills_a, fills_b):
+    """Triples present in BOTH fills datasets — the reference's
+    ``IntersectSlotFiller`` (``kbp/slotfilling/evaluate/
+    IntersectSlotFiller.java``; RD note §2.8: inner join on the triple
+    key). Shape: tag each side, union, coarse-pid groupby, keep
+    triples seen on both sides; score = min of the two (the
+    conservative combination), provenance from side A."""
+    import numpy as np
+    import pandas as pd
+
+    from ..runtime import cluster_cpus
+    from .classify import TRIPLE_KEY
+    n_parts = max(16, cluster_cpus() * 4)
+
+    def tag(side: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["side"] = side
+            if len(df):
+                key = df["subj"].str.cat(
+                    [df[c] for c in TRIPLE_KEY[1:]], sep="|")
+                df["pid"] = (pd.util.hash_pandas_object(key, index=False)
+                             .to_numpy() % n_parts).astype(np.int32)
+            else:
+                df["pid"] = np.array([], dtype=np.int32)
+            return df
+        return fn
+
+    both = fills_a.map_batches(tag("A"), batch_format="pandas").union(
+        fills_b.map_batches(tag("B"), batch_format="pandas"))
+
+    def keep_both(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(columns=list(FILLS_SCHEMA.names))
+        sides = df.groupby(TRIPLE_KEY, sort=False)["side"].nunique()
+        min_s = df.groupby(TRIPLE_KEY, sort=False)["score"].min()
+        a = df[df["side"] == "A"].drop_duplicates(TRIPLE_KEY) \
+            .set_index(TRIPLE_KEY)
+        a = a[sides.reindex(a.index).to_numpy() >= 2]
+        if len(a) == 0:
+            return pd.DataFrame(columns=list(FILLS_SCHEMA.names))
+        a["score"] = min_s.reindex(a.index)
+        return a.reset_index()[list(FILLS_SCHEMA.names)]
+
+    return (both.groupby("pid")
+            .map_groups(keep_both, batch_format="pandas")
+            .select_columns(FILLS_SCHEMA.names))
+
+
 def transitive_infer(fills, rules=DEFAULT_RULES,
                      damping: float = RULE_DAMPING):
     """fills → inferred length-2-path edges (NOT unioned with input;

@@ -91,3 +91,29 @@ def test_transitive_no_self_loop(ray_session):
     inf = graph_infer.transitive_infer(ds).take_all()
     assert all(r["subj"] != r["obj"] for r in inf)
     assert inf == []
+
+
+def test_intersect_fills(ray_session):
+    a = _fills_ds([
+        ("Alice Smith", "PERSON", "per:title", "curator", "TITLE", 0.9),
+        ("Alice Smith", "PERSON", "per:age", "44", "NUMBER", 0.5),
+    ])
+    b = _fills_ds([
+        ("Alice Smith", "PERSON", "per:title", "curator", "TITLE", 0.7),
+        ("Bob Jones", "PERSON", "per:title", "surgeon", "TITLE", 0.8),
+    ])
+    out = graph_infer.intersect_fills(a, b).take_all()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["subj"], r["pred"], r["obj"]) == \
+        ("Alice Smith", "per:title", "curator")
+    assert r["score"] == 0.7                   # conservative min
+    assert r["doc_id"] == "d0"                 # provenance from side A
+
+
+def test_intersect_fills_empty_side(ray_session):
+    a = _fills_ds([
+        ("Alice Smith", "PERSON", "per:title", "curator", "TITLE", 0.9),
+    ])
+    b = _fills_ds([])
+    assert graph_infer.intersect_fills(a, b).take_all() == []
