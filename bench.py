@@ -24,7 +24,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # Sized so compute dominates the streaming executor's fixed per-stage
 # latency (~4-5 s of barriers at any corpus size) — a 20k-doc run
 # measured overhead, not the engine.
-KG_DOCS = int(os.environ.get("GRAFT_KG_DOCS", "500000"))
+KG_DOCS = int(os.environ.get("GRAFT_KG_DOCS", "2000000"))
 # scaling proxy corpus: big enough (~1.5-4.5 min/run) that the sandbox
 # VM's ±30-50% short-run steal noise averages out — measured efficiency
 # at 10M docs is stable vs wildly variable at 2M
