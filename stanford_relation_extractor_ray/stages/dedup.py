@@ -201,13 +201,18 @@ def minhash_lsh_pairs(ds, *, text_col: str = "text",
 
 
 def simhash64(text: str, k: int = 1) -> int:
-    v = np.zeros(64, dtype=np.int64)
-    for s in shingles(text, k):
-        h = int.from_bytes(
-            hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
-        bits = np.unpackbits(
-            np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
-        v += bits.astype(np.int64) * 2 - 1
+    """Vectorized per document: one unpackbits over the [n_shingles, 8]
+    digest matrix instead of a numpy round-trip per shingle (identical
+    bits: Σ(2b−1) = 2Σb − n, and each digest's big-endian byte layout
+    matches the former int round-trip)."""
+    sh = shingles(text, k)
+    if not sh:
+        return 0
+    digests = b"".join(
+        hashlib.blake2b(s.encode(), digest_size=8).digest() for s in sh)
+    bits = np.unpackbits(
+        np.frombuffer(digests, dtype=np.uint8).reshape(-1, 8), axis=1)
+    v = bits.sum(axis=0, dtype=np.int64) * 2 - len(sh)
     return int.from_bytes(np.packbits(v > 0).tobytes(), "big")
 
 
