@@ -123,7 +123,10 @@ class OracleExtractor:
                 (cnt, subj, st, rel, obj, ot))
         out = set()
         for subj, rows in per_entity.items():
-            rows.sort(key=lambda r: (-r[0], r[4].count(" "), r[4], r[3]))
+            # KBPSlotFill.compareTo: score desc, MORE obj tokens first,
+            # then lexicographic on the triple key (pred, obj).
+            rows.sort(key=lambda r: (-r[0], -len(r[4].split()),
+                                     r[3], r[4]))
             accepted = []
             for cnt, s, st, rel, obj, ot in rows:
                 spec = RELATIONS[rel]

@@ -107,6 +107,26 @@ def _linked_keep_raw(batch, aliases_ref, seed):
     return linker(batch)
 
 
+def _model_fingerprint(model_ref) -> str:
+    """Stable fingerprint of the scorer model for checkpoint lineage:
+    a shard checkpointed under one model must not be reused for a rerun
+    with different weights (the shard digest folds this in)."""
+    if model_ref is None:
+        return "pattern-only"
+    import hashlib
+
+    import ray
+    d = ray.get(model_ref) if hasattr(model_ref, "hex") else model_ref
+    if d is None:
+        return "pattern-only"
+    h = hashlib.sha256()
+    for key in sorted(d):
+        h.update(key.encode())
+        import numpy as np
+        h.update(np.ascontiguousarray(d[key]).tobytes())
+    return h.hexdigest()[:16]
+
+
 def build_graph(consistent_fills):
     """→ (nodes Dataset-backed Table, edges Dataset)."""
     cmap, _w = canonical_map(consistent_fills)
@@ -134,11 +154,12 @@ def run_kg(n_docs: int, *, seed: int = 42, model_ref=None,
     else:
         man = Manifest(checkpoint_dir, "fills")
         per = (n_docs + n_shards - 1) // n_shards
+        model_fp = _model_fingerprint(model_ref)
         for k in range(n_shards):
             lo, hi = k * per, min((k + 1) * per, n_docs)
             if lo >= hi:
                 continue
-            d = digest("fills", seed, lo, hi, n_salt)
+            d = digest("fills", seed, lo, hi, n_salt, model_fp)
             part = f"{k:04d}"
             if man.is_done(part, d):
                 continue

@@ -147,9 +147,6 @@ class EnsembleScorer:
             between = next((f[8:] for f in feats
                             if f.startswith("between:")), "")
             rel = resolve_relation(between, subj_type, obj_type)
-            if rel is None and between.startswith(", "):
-                rel = resolve_relation("," + between[1:], subj_type,
-                                       obj_type)
             if rel is not None:
                 per_rel.setdefault(rel, []).append(
                     (i, PATTERN_SENT_SCORE))

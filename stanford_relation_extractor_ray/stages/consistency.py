@@ -7,10 +7,12 @@ per-entity, so ``ds.groupby("subj").map_groups(...)`` — embarrassingly
 parallel, deterministic given the comparator.
 
 Greedy pass: sort the entity's fills by (score desc, obj token count
-asc, obj asc, pred asc) — the reference's ``KBPSlotFill.compareTo``
-(score desc, token-length tiebreak, ``kbp/common/KBPSlotFill.java:69-91``)
-with lexicographic tie-breaks pinned where the Java leaves order
-unspecified (SURVEY.md §7.4). Accept one fill at a time iff every check
+**desc** — longer slot values first — then pred asc, obj asc) — the
+reference's ``KBPSlotFill.compareTo`` (score desc, MORE slot-value
+tokens first, longer entity name first, then lexicographic on the
+triple key, ``kbp/common/KBPSlotFill.java:68-91``). Within a
+per-entity group the entity-name length is constant, so the effective
+chain is (-score, -obj_tokens, key-lexicographic). Accept one fill at a time iff every check
 passes against the already-accepted set:
 
 - RespectRelationTypes (NER validity per relation,
@@ -42,8 +44,8 @@ def _value_dup(a: str, b: str, obj_type: str) -> bool:
 
 def _greedy(rows: list[dict]) -> list[dict]:
     """The per-entity greedy filterStep over row dicts (sorted here)."""
-    rows.sort(key=lambda r: (-r["score"], r["obj"].count(" "),
-                             r["obj"], r["pred"]))
+    rows.sort(key=lambda r: (-r["score"], -len(r["obj"].split()),
+                             r["pred"], r["obj"]))
     accepted: list[dict] = []
     for r in rows:
         spec = RELATIONS.get(r["pred"])

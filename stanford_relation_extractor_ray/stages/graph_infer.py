@@ -167,7 +167,11 @@ def intersect_fills(fills_a, fills_b):
 def transitive_infer(fills, rules=DEFAULT_RULES,
                      damping: float = RULE_DAMPING):
     """fills → inferred length-2-path edges (NOT unioned with input;
-    callers union + combine as desired)."""
+    callers union + combine as desired). The output itself is
+    duplicate-free: the in-partition ``seen`` set only dedups triples
+    inferred via bridges in ONE partition, so the result is routed
+    through the per-triple max combine to collapse the same triple
+    inferred via bridge entities hashed to different partitions."""
     import numpy as np
     import pandas as pd
 
@@ -247,6 +251,7 @@ def transitive_infer(fills, rules=DEFAULT_RULES,
              zip(FILLS_SCHEMA.names, FILLS_SCHEMA.types)],
             schema=FILLS_SCHEMA)
 
-    return (fills.map_batches(tag, batch_format="pyarrow")
-            .groupby("pid")
-            .map_groups(join, batch_format="pyarrow"))
+    return _max_combine(
+        fills.map_batches(tag, batch_format="pyarrow")
+        .groupby("pid")
+        .map_groups(join, batch_format="pyarrow"))

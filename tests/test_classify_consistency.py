@@ -127,6 +127,18 @@ def test_near_dup_slot_values_collapse():
     assert len(out) == 1 and out[0]["obj"] == "Robert Smith"
 
 
+def test_score_tie_prefers_longer_slot_value():
+    """KBPSlotFill.compareTo: at equal score, MORE slot-value tokens
+    sort first (kbp/common/KBPSlotFill.java:76-81), so for a SINGLE
+    relation the longer value wins the greedy pass."""
+    out = _run_consistency([
+        _fill("A B", "per:city_of_birth", "Toronto", 0.9),
+        _fill("A B", "per:city_of_birth", "New York City", 0.9),
+    ])
+    assert [(r["pred"], r["obj"]) for r in out] == \
+        [("per:city_of_birth", "New York City")]
+
+
 def test_incompatible_relations_rejected():
     out = _run_consistency([
         _fill("A B", "per:city_of_birth", "Toronto", 0.9),
