@@ -44,6 +44,7 @@ TRAIN_DOC_OFFSET = 1_000_000      # disjoint from eval doc ids
 NEG_SUBSAMPLE = 0.10
 FEATURE_COUNT_THRESHOLD = 5
 EPOCHS = 8
+FEATURE_VERSION = 2               # bust stale model caches on template changes
 
 
 def _label_batch(batch: pa.Table, kb: dict) -> pa.Table:
@@ -121,7 +122,8 @@ def train_lr(n_docs: int = 1500, seed: int = 42,
              cache_dir: str = "/tmp/sre_ray_cache") -> dict:
     """→ LRModel dict (numpy arrays); cached on disk per (seed, n)."""
     os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"lr_{seed}_{n_docs}.npz")
+    path = os.path.join(cache_dir,
+                        f"lr_v{FEATURE_VERSION}_{seed}_{n_docs}.npz")
     if os.path.exists(path):
         d = np.load(path, allow_pickle=False)
         return {"weights": d["weights"], "bias": d["bias"],

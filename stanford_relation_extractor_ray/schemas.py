@@ -24,12 +24,20 @@ MENTION_STRUCT = pa.struct([
     pa.field("antecedent", pa.string()),   # resolved surface for pronouns
 ])
 
+DEP_EDGE_STRUCT = pa.struct([
+    pa.field("head", pa.int32()),          # governor token index
+    pa.field("dep", pa.int32()),           # dependent token index
+    pa.field("label", pa.string()),        # collapsed-style relation
+])
+
 SENTENCES_SCHEMA = pa.schema([
     ("doc_id", pa.string()),
     ("sent_idx", pa.int32()),              # index among TEXT spans
     ("text", pa.string()),
     ("n_tokens", pa.int32()),
     ("mentions", pa.list_(MENTION_STRUCT)),
+    ("pos", pa.list_(pa.string())),        # rule POS tags per token
+    ("dep_edges", pa.list_(DEP_EDGE_STRUCT)),
 ])
 
 CANDIDATES_SCHEMA = pa.schema([
@@ -42,6 +50,10 @@ CANDIDATES_SCHEMA = pa.schema([
     ("subj_begin", pa.int32()), ("subj_end", pa.int32()),
     ("obj_begin", pa.int32()), ("obj_end", pa.int32()),
     ("between", pa.string()),              # tokens between the two spans
+    # sentence-context features computed at pairing time, where the
+    # whole sentence (tokens, POS, dep graph, all mentions) is in hand:
+    # adjacent words, entities-between, entity counts, dep-path features
+    ("ctx_features", pa.list_(pa.string())),
 ])
 
 FEATURIZED_SCHEMA = pa.schema(

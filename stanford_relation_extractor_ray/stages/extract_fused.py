@@ -43,7 +43,8 @@ class FusedExtractor:
         self.need_features = self.scorer.lr is not None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        cands = pair_candidates_fused(self.nlp, batch)
+        cands = pair_candidates_fused(self.nlp, batch,
+                                      with_ctx=self.need_features)
         cands = self.linker(cands)
         if self.need_features:
             cands = featurize_batch(cands)

@@ -29,17 +29,29 @@ MAX_DISTANCE = 12
 
 
 def pair_mentions(batch: pa.Table) -> pa.Table:
+    from .featurize import context_features
+
     doc_ids = batch.column("doc_id").to_pylist()
     sent_idxs = batch.column("sent_idx").to_pylist()
     texts = batch.column("text").to_pylist()
     mentions_col = batch.column("mentions").to_pylist()
+    has_ctx = "pos" in batch.column_names \
+        and "dep_edges" in batch.column_names
+    pos_col = batch.column("pos").to_pylist() if has_ctx else None
+    deps_col = batch.column("dep_edges").to_pylist() if has_ctx else None
 
     cols: dict[str, list] = {n: [] for n in CANDIDATES_SCHEMA.names}
-    for doc_id, sent_idx, text, mentions in zip(
-            doc_ids, sent_idxs, texts, mentions_col):
+    for row_i, (doc_id, sent_idx, text, mentions) in enumerate(zip(
+            doc_ids, sent_idxs, texts, mentions_col)):
         if not mentions or len(mentions) < 2:
             continue
         tokens = text.split(" ")
+        if has_ctx:
+            pos = pos_col[row_i]
+            edges = [(d["head"], d["dep"], d["label"])
+                     for d in deps_col[row_i]]
+            ment_spans = [(m["begin"], m["end"], m["ner"])
+                          for m in mentions]
         best: dict[tuple, tuple] = {}
         for em in mentions:
             if em["ner"] not in ("PERSON", "ORGANIZATION"):
@@ -77,23 +89,37 @@ def pair_mentions(batch: pa.Table) -> pa.Table:
             cols["obj_begin"].append(sm["begin"])
             cols["obj_end"].append(sm["end"])
             cols["between"].append(between)
+            cols["ctx_features"].append(
+                context_features(tokens, pos, edges, ment_spans,
+                                 (em["begin"], em["end"]),
+                                 (sm["begin"], sm["end"]))
+                if has_ctx else [])
     return pa.Table.from_arrays(
         [pa.array(cols[n], t) for n, t in
          zip(CANDIDATES_SCHEMA.names, CANDIDATES_SCHEMA.types)],
         schema=CANDIDATES_SCHEMA)
 
 
-def pair_candidates_fused(annotator, batch: pa.Table) -> pa.Table:
+def pair_candidates_fused(annotator, batch: pa.Table,
+                          with_ctx: bool = False) -> pa.Table:
     """Fused path: documents batch → candidates table directly, no
     intermediate Arrow sentences table and no per-mention dicts
     (mention tuples come from ``NLPAnnotator.iter_sentences``). Same
     pairing semantics as ``pair_mentions`` — equality is pinned by
-    tests/test_pipeline_e2e.py::test_fast_path_equals_bag_path."""
+    tests/test_pipeline_e2e.py::test_fast_path_equals_bag_path.
+    ``with_ctx`` runs the tagger/parser and attaches sentence-context
+    features (needed only when an LR model consumes them — the
+    pattern-only fast path skips the parse entirely)."""
+    from .featurize import context_features
+
     cols: dict[str, list] = {n: [] for n in CANDIDATES_SCHEMA.names}
     for doc_id, sent_idx, tokens, mentions in \
             annotator.iter_sentences(batch):
         if len(mentions) < 2:
             continue
+        if with_ctx:
+            pos, edges = annotator.analyze(tokens)
+            ment_spans = [(m[2], m[3], m[1]) for m in mentions]
         best: dict[tuple, tuple] = {}
         for em in mentions:
             e_surf, e_ner, e_b, e_e, e_ante = em
@@ -131,6 +157,10 @@ def pair_candidates_fused(annotator, batch: pa.Table) -> pa.Table:
             cols["obj_begin"].append(sm[2])
             cols["obj_end"].append(sm[3])
             cols["between"].append(between)
+            cols["ctx_features"].append(
+                context_features(tokens, pos, edges, ment_spans,
+                                 (em[2], em[3]), (sm[2], sm[3]))
+                if with_ctx else [])
     return pa.Table.from_arrays(
         [pa.array(cols[n], t) for n, t in
          zip(CANDIDATES_SCHEMA.names, CANDIDATES_SCHEMA.types)],

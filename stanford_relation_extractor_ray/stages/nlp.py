@@ -129,9 +129,18 @@ class NLPAnnotator:
                     self._mentions(tokens, last_seen)
                 sent_idx += 1
 
+    def analyze(self, tokens: list[str]):
+        """→ (pos, dep_edges) via the deterministic tagger/parser
+        stand-in (stages/deps.py; reference: CoreNLP pos + parse
+        annotators, ``StanfordMIMLRE.properties:6``)."""
+        from .deps import parse, pos_tag
+        pos = pos_tag(tokens)
+        return pos, parse(tokens, pos)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_doc, out_idx, out_text, out_ntok, out_mentions = \
             [], [], [], [], []
+        out_pos, out_deps = [], []
         for doc_id, sent_idx, tokens, ments in self.iter_sentences(batch):
             out_doc.append(doc_id)
             out_idx.append(sent_idx)
@@ -140,12 +149,19 @@ class NLPAnnotator:
             out_mentions.append(
                 [{"surface": s, "ner": t, "begin": b, "end": e,
                   "antecedent": a} for s, t, b, e, a in ments])
+            pos, edges = self.analyze(tokens)
+            out_pos.append(pos)
+            out_deps.append([{"head": h, "dep": d, "label": l}
+                             for h, d, l in edges])
+        from ..schemas import DEP_EDGE_STRUCT
         return pa.Table.from_arrays(
             [pa.array(out_doc, pa.string()),
              pa.array(out_idx, pa.int32()),
              pa.array(out_text, pa.string()),
              pa.array(out_ntok, pa.int32()),
-             pa.array(out_mentions, pa.list_(MENTION_STRUCT))],
+             pa.array(out_mentions, pa.list_(MENTION_STRUCT)),
+             pa.array(out_pos, pa.list_(pa.string())),
+             pa.array(out_deps, pa.list_(DEP_EDGE_STRUCT))],
             schema=SENTENCES_SCHEMA)
 
 

@@ -1,0 +1,119 @@
+"""Dependency parse + feature template fixtures (FIXTURES.md;
+mirrors the per-template assertion shape of the reference's
+FeatureProvidersTest.java over constructed sentences)."""
+
+import pyarrow as pa
+
+from stanford_relation_extractor_ray.schemas import CANDIDATES_SCHEMA
+from stanford_relation_extractor_ray.stages.deps import (
+    dep_features, parse, path_string, pos_tag, shortest_path)
+from stanford_relation_extractor_ray.stages.featurize import (
+    context_features, featurize_batch)
+
+
+def _edges(sent):
+    toks = sent.split(" ")
+    pos = pos_tag(toks)
+    return toks, pos, parse(toks, pos)
+
+
+def test_pos_tagger_rules():
+    toks = "Robert Smith was born in Toronto on May 3 , 1970".split(" ")
+    assert pos_tag(toks) == [
+        "NNP", "NNP", "VBD", "VBN", "IN", "NNP", "IN", "NNP", "CD",
+        ",", "CD"]
+
+
+def test_parse_passive_prep():
+    toks, pos, edges = _edges("Robert Smith was born in Toronto")
+    rel = {(h, d): l for h, d, l in edges}
+    assert rel[(3, 1)] == "nsubj"          # Smith <- born
+    assert rel[(3, 2)] == "aux"            # was <- born
+    assert rel[(3, 5)] == "prep_in"        # Toronto <- born (collapsed)
+
+
+def test_parse_is_deterministic():
+    toks, pos, e1 = _edges("Jane Doe works for Acme Corp")
+    _, _, e2 = _edges("Jane Doe works for Acme Corp")
+    assert e1 == e2
+
+
+def test_dep_path_lowlevel_format():
+    toks, pos, edges = _edges("Robert Smith was born in Toronto")
+    nodes, parts = shortest_path(edges, len(toks), 1, 5)
+    assert parts == ["nsubj->", "<-prep_in"]
+    assert path_string(parts) == "_nsubj->__<-prep_in_"
+
+
+def test_dep_features_templates():
+    toks, pos, edges = _edges("Robert Smith was born in Toronto")
+    feats = dep_features(toks, pos, edges, (0, 2), (5, 6))
+    assert "dep_path_lowlevel:_nsubj->__<-prep_in_" in feats
+    # path word "born" lemma'd, args excluded
+    assert "word_in_dependency_path:born" in feats
+    assert not any(f == "word_in_dependency_path:smith" for f in feats)
+    # constituency stand-in path over POS tags
+    assert "full_tree_path:NNP_->_VBN_<-_NNP" in feats
+
+
+def test_dep_path_conjunction():
+    toks, pos, edges = _edges(
+        "Jane Doe works for Acme Corp and resides in Canada")
+    feats = dep_features(toks, pos, edges, (0, 2), (9, 10))
+    # path subj -> works -conj_and-> resides -prep_in-> Canada
+    assert "dep_path_lowlevel:_nsubj->__<-conj_and__<-prep_in_" in feats
+    assert "word_in_dependency_path:reside" in feats
+
+
+def test_context_features_entities_and_adjacency():
+    toks, pos, edges = _edges(
+        "Robert Smith works for Acme Corp in Toronto")
+    ments = [(0, 2, "PERSON"), (4, 6, "ORGANIZATION"), (7, 8, "CITY")]
+    feats = context_features(toks, pos, edges, ments, (0, 2), (7, 8))
+    assert "rightarg0-works" in feats          # adjacent_words
+    assert "leftarg1-in" in feats
+    # ORG head (idx 5) strictly between PERSON head (1) and CITY head (7)
+    assert "entity_between_args:_ORGANIZATION" in feats
+    assert "entity_counts_PERSON:_1" in feats  # entity_counts_binary
+    assert "entity_counts_bin1" in feats       # entity_counts_bins
+
+
+def _cand_row(**over):
+    row = {"subj": "Robert Smith", "subj_type": "PERSON",
+           "obj": "Toronto", "obj_type": "CITY", "doc_id": "d0",
+           "sent_idx": 0, "subj_begin": 0, "subj_end": 2,
+           "obj_begin": 5, "obj_end": 6, "between": "was born in",
+           "ctx_features": ["dep_path_lowlevel:_nsubj->__<-prep_in_"]}
+    row.update(over)
+    return row
+
+
+def test_featurize_active_template_set():
+    t = pa.Table.from_pylist([_cand_row()], schema=CANDIDATES_SCHEMA)
+    feats = featurize_batch(t).column("features").to_pylist()[0]
+    assert "arg1type=PERSON_and_arg2type=CITY" in feats
+    assert "arg1BeforeArg2" in feats
+    assert "surface_distance_4" in feats       # heads 1 and 5
+    assert "surface_distance_bin_lt6" in feats
+    assert "word_arg1:_Toronto" in feats
+    assert "span_word:born" in feats
+    # ctx features carried through
+    assert "dep_path_lowlevel:_nsubj->__<-prep_in_" in feats
+    # legacy pattern-component features retained
+    assert "order:SO" in feats and "between:was born in" in feats
+
+
+def test_sentences_table_carries_dep_edges(ray_session):
+    """SENTENCES_SCHEMA contract (SURVEY.md §1.1): pos + dep_edges."""
+    from stanford_relation_extractor_ray.corpus import documents_dataset
+    from stanford_relation_extractor_ray.stages import nlp
+    sents = nlp.annotate(documents_dataset(20)).take_all()
+    assert all("pos" in s and "dep_edges" in s for s in sents)
+    with_e = [s for s in sents if s["dep_edges"]]
+    assert with_e, "no sentence produced dependency edges"
+    s = with_e[0]
+    assert len(s["pos"]) == s["n_tokens"]
+    for e in s["dep_edges"]:
+        assert 0 <= e["dep"] < s["n_tokens"]
+        assert 0 <= e["head"] < s["n_tokens"]
+        assert e["label"]
