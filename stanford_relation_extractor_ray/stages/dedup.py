@@ -7,16 +7,18 @@ plan SURVEY.md §7.2/7.3, generalized corpus-wide):
 
 - ``exact_dedup``       — content-hash groupby, keep first (min id).
 - ``minhash_lsh_pairs`` — shingle → minhash → banded LSH buckets →
-  candidate pairs → exact-Jaccard verification. The scale path: only
-  bucket-mates are compared, never all pairs.
+  candidate pairs → distributed exact-Jaccard verification over a
+  two-pass shingle-digest join. The scale path: only bucket-mates are
+  compared, never all pairs, and nothing lands on the driver.
 - ``simhash_pairs``     — 64-bit simhash, banded by pigeonhole so any
   pair within the hamming radius shares ≥1 of (radius+1) bands —
   exact, no false negatives.
 - ``jaccard_pairs``     — blocked exact n-gram-Jaccard join (the
   verification kernel standalone, for oracle-checkable small blocks).
-- ``embedding_dup_pairs`` — exact cosine near-dup via per-batch numpy
-  matmul against a broadcast matrix (brute force; see
-  stages/similarity.py for the bucketed scale path).
+- ``embedding_dup_pairs`` — cosine near-dup via IVF multi-probe
+  bucketing (deterministic seeded centroids, in-bucket matmul,
+  coarse-pid pair distinct) — no driver-side matrix, bucket id doubles
+  as a partition key at scale.
 
 All hash functions are deterministic (crc32/blake2, seeded
 multiply-shift) so results are reproducible across processes and
@@ -89,20 +91,21 @@ def minhash_lsh_pairs(ds, *, text_col: str = "text",
                       threshold: float = 0.5, seed: int = 7):
     """Near-duplicate pairs via MinHash + banded LSH + exact verify.
 
-    Dataflow: per-batch signature computation (vectorized numpy) →
-    flat-map to (band, band_hash, id, shingle-set-digest) rows →
-    ``groupby(band, band_hash)`` → within-bucket candidate pairs →
-    exact Jaccard verification on re-read shingle sets → distinct
-    pairs. Output: (id_a, id_b, jaccard) with id_a < id_b.
+    Dataflow (fully distributed, nothing on the driver): per-batch
+    signature computation (vectorized numpy) → banded bucket rows →
+    coarse-pid groupby → within-bucket candidate pairs → coarse-pid
+    pair distinct → two-pass digest join (pairs meet each doc's 64-bit
+    shingle-digest set on id_a, then id_b) → in-partition exact
+    Jaccard. Output: (id_a, id_b, jaccard) with id_a < id_b.
 
     With r = num_perm/bands rows per band, a pair with true Jaccard j
     shares ≥1 band w.p. 1-(1-j^r)^bands — at the defaults (r=2, b=64)
     detection at j≥0.5 is ≈1-1e-8, so the verified output equals the
     exact-join oracle with overwhelming probability while only
-    comparing bucket-mates.
+    comparing bucket-mates. Verification compares 64-bit blake2b
+    shingle digests, not texts — collision-free in practice and ~10×
+    smaller than text payloads in the verify shuffle.
     """
-    import ray
-
     r = num_perm // bands
     a, b = _perm_params(num_perm, seed)
     from ..runtime import cluster_cpus
@@ -162,42 +165,156 @@ def minhash_lsh_pairs(ds, *, text_col: str = "text",
 
     cand = banded.groupby("pid").map_groups(partition_pairs,
                                             batch_format="pyarrow")
-    # distinct pairs across partitions (candidate set is small)
-    pair_rows = {(r_["id_a"], r_["id_b"]) for r_ in cand.take_all()}
-    if not pair_rows:
-        return ray.data.from_arrow(pa.table(
-            {"id_a": pa.array([], pa.int64()),
-             "id_b": pa.array([], pa.int64()),
-             "jaccard": pa.array([], pa.float64())}))
+    # a pair can surface from several band partitions → coarse-pid
+    # distinct (never one group per pair, never the driver)
+    cand = _dedupe_pairs(cand, n_parts)
 
-    # exact-Jaccard verification: broadcast the candidate docs' texts
-    # (bounded by the candidate set, not the corpus)
-    need = {i for p in pair_rows for i in p}
-    need_ref = ray.put(need)
+    # ---- distributed exact-Jaccard verification ----------------------
+    # Two-pass digest join (the tagged-union shape of
+    # graph_infer.intersect_fills): candidate pairs meet each doc's
+    # 64-bit shingle-digest set in a coarse partition keyed by the
+    # doc id — first on id_a, then on id_b — and the Jaccard is
+    # computed where the second digest lands. No driver materialization
+    # of pairs or texts; the digest stream is shuffled twice, both
+    # passes streaming with O(n_parts) groups.
+    empty_sh = pa.array([], pa.list_(pa.uint64()))
 
-    def pick(batch: pa.Table) -> pa.Table:
-        ns = ray.get(need_ref)
-        mask = pa.array([int(i) in ns
-                         for i in batch.column(id_col).to_pylist()])
-        return batch.filter(mask).select([id_col, text_col])
+    def digests(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        sh_col = []
+        for t in texts:
+            sh = shingles(t, k)
+            arr = np.fromiter(
+                (int.from_bytes(hashlib.blake2b(
+                    s.encode(), digest_size=8).digest(), "big")
+                 for s in sh), dtype=np.uint64, count=len(sh))
+            arr.sort()
+            sh_col.append(arr)
+        return pa.table({
+            "jid": pa.array(ids, pa.int64()),
+            "id_a": pa.array(ids, pa.int64()),
+            "id_b": pa.array([-1] * len(ids), pa.int64()),
+            "sh": pa.array([a.tolist() for a in sh_col],
+                           pa.list_(pa.uint64())),
+            "sh_a": pa.nulls(len(ids), pa.list_(pa.uint64())),
+            "side": pa.array(["D"] * len(ids), pa.string()),
+        })
 
-    texts = {r_[id_col]: r_[text_col]
-             for r_ in ds.map_batches(pick,
-                                      batch_format="pyarrow").take_all()}
-    sh_memo = {i: shingles(t, k) for i, t in texts.items()}
-    out_a, out_b, out_j = [], [], []
-    for ia, ib in sorted(pair_rows):
-        sa, sb_ = sh_memo[ia], sh_memo[ib]
-        union = len(sa | sb_)
-        j = len(sa & sb_) / union if union else 0.0
-        if j >= threshold:
-            out_a.append(ia)
-            out_b.append(ib)
-            out_j.append(j)
-    return ray.data.from_arrow(pa.table(
-        {"id_a": pa.array(out_a, pa.int64()),
-         "id_b": pa.array(out_b, pa.int64()),
-         "jaccard": pa.array(out_j, pa.float64())}))
+    def _with_join_pid(t: pa.Table) -> pa.Table:
+        jid = t.column("jid").to_numpy()
+        pid = (jid.astype(np.uint64) * np.uint64(2654435761)
+               % np.uint64(n_parts)).astype(np.int32)
+        return t.append_column("jpid", pa.array(pid))
+
+    def tag_pairs_on_a(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "jid": batch.column("id_a"),
+            "id_a": batch.column("id_a"),
+            "id_b": batch.column("id_b"),
+            "sh": pa.nulls(n, pa.list_(pa.uint64())),
+            "sh_a": pa.nulls(n, pa.list_(pa.uint64())),
+            "side": pa.array(["P"] * n, pa.string()),
+        })
+
+    def attach_a(group: pa.Table) -> pa.Table:
+        sides = group.column("side").to_pylist()
+        jids = group.column("jid").to_pylist()
+        shs = group.column("sh").to_pylist()
+        by_id = {j: s for j, s, sd in zip(jids, shs, sides)
+                 if sd == "D"}
+        out = {"jid": [], "id_a": [], "id_b": [], "sh_a": []}
+        ias = group.column("id_a").to_pylist()
+        ibs = group.column("id_b").to_pylist()
+        for sd, ia, ib in zip(sides, ias, ibs):
+            if sd != "P":
+                continue
+            sa = by_id.get(ia)
+            if sa is None:
+                continue
+            out["jid"].append(ib)        # next pass joins on id_b
+            out["id_a"].append(ia)
+            out["id_b"].append(ib)
+            out["sh_a"].append(sa)
+        return pa.table({
+            "jid": pa.array(out["jid"], pa.int64()),
+            "id_a": pa.array(out["id_a"], pa.int64()),
+            "id_b": pa.array(out["id_b"], pa.int64()),
+            "sh": pa.nulls(len(out["jid"]), pa.list_(pa.uint64())),
+            "sh_a": pa.array(out["sh_a"], pa.list_(pa.uint64())),
+            "side": pa.array(["P"] * len(out["jid"]), pa.string()),
+        })
+
+    def verify(group: pa.Table) -> pa.Table:
+        sides = group.column("side").to_pylist()
+        jids = group.column("jid").to_pylist()
+        shs = group.column("sh").to_pylist()
+        by_id = {j: s for j, s, sd in zip(jids, shs, sides)
+                 if sd == "D"}
+        out_a, out_b, out_j = [], [], []
+        ias = group.column("id_a").to_pylist()
+        ibs = group.column("id_b").to_pylist()
+        sas = group.column("sh_a").to_pylist()
+        for sd, ia, ib, sa in zip(sides, ias, ibs, sas):
+            if sd != "P":
+                continue
+            sb_ = by_id.get(ib)
+            if sb_ is None or sa is None:
+                continue
+            na, nb = len(sa), len(sb_)
+            inter = len(np.intersect1d(
+                np.asarray(sa, dtype=np.uint64),
+                np.asarray(sb_, dtype=np.uint64),
+                assume_unique=True))
+            union = na + nb - inter
+            j = inter / union if union else 0.0
+            if j >= threshold:
+                out_a.append(ia)
+                out_b.append(ib)
+                out_j.append(j)
+        return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                         "id_b": pa.array(out_b, pa.int64()),
+                         "jaccard": pa.array(out_j, pa.float64())})
+
+    dig = ds.map_batches(digests, batch_format="pyarrow",
+                         batch_size=4096)
+    pass1 = (cand.map_batches(tag_pairs_on_a, batch_format="pyarrow")
+             .union(dig)
+             .map_batches(_with_join_pid, batch_format="pyarrow")
+             .groupby("jpid")
+             .map_groups(attach_a, batch_format="pyarrow"))
+    return (pass1.union(dig)
+            .map_batches(_with_join_pid, batch_format="pyarrow")
+            .groupby("jpid")
+            .map_groups(verify, batch_format="pyarrow")
+            .select_columns(["id_a", "id_b", "jaccard"]))
+
+
+def _dedupe_pairs(pairs, n_parts: int, extra_col: str | None = None):
+    """Distinct (id_a, id_b) via coarse-pid routing + in-partition
+    vectorized dedupe — the cross-partition distinct used by every
+    pair-emitting operator here."""
+    def add_pid(batch: pa.Table) -> pa.Table:
+        ia = batch.column("id_a").to_numpy()
+        ib = batch.column("id_b").to_numpy()
+        pid2 = ((ia.astype(np.uint64) * np.uint64(2654435761)
+                 ^ ib.astype(np.uint64)) % np.uint64(n_parts)) \
+            .astype(np.int32)
+        return batch.append_column("pid2", pa.array(pid2))
+
+    cols = ["id_a", "id_b"] + ([extra_col] if extra_col else [])
+
+    def dedupe(group: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = group.select(cols).to_pandas()
+        df = df.sort_values(cols, kind="mergesort") \
+            .drop_duplicates(["id_a", "id_b"], keep="first")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (pairs.map_batches(add_pid, batch_format="pyarrow")
+            .groupby("pid2").map_groups(dedupe, batch_format="pyarrow")
+            .select_columns(cols))
 
 
 def simhash64(text: str, k: int = 1) -> int:
@@ -367,39 +484,96 @@ def connected_components(pairs_rows: list[tuple]) -> dict:
 
 
 def embedding_dup_pairs(ds, *, vec_col: str = "embedding",
-                        id_col: str = "vec_id", threshold: float = 0.5):
-    """Exact cosine near-dup pairs: per-batch numpy matmul against the
-    broadcast full matrix (``ray.put`` once). Output:
-    (id_a, id_b, cosine), id_a < id_b. Brute force — the IVF-bucketed
-    variant in stages/similarity.py is the 100-TB path."""
-    import ray
+                        id_col: str = "vec_id", threshold: float = 0.5,
+                        n_centroids: int | None = None, n_probe: int = 3,
+                        seed: int = 13):
+    """Cosine near-dup pairs via IVF multi-probe bucketing — the
+    100-TB path (VERDICT round 1: the former broadcast brute force
+    materialized the full matrix on the driver).
 
-    all_rows = ds.select_columns([id_col, vec_col]).take_all()
-    ids = np.array([r[id_col] for r in all_rows])
-    mat = np.array([r[vec_col] for r in all_rows], dtype=np.float32)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    matn = mat / norms[:, None]
-    ref = ray.put((ids, matn))
+    Dataflow: seeded deterministic centroids (stages/similarity.py
+    ``build_ivf`` sampling) → every vector is replicated to its
+    ``n_probe`` nearest buckets → ``groupby(bucket)`` → in-bucket
+    vectorized matmul emits pairs ≥ threshold → coarse-pid distinct
+    (a pair can be found in every shared bucket). A near-dup pair has
+    near-identical centroid rankings, so both members share ≥1 probed
+    bucket with overwhelming probability; recall vs the exact join is
+    pinned by the driver oracle and tests. Buckets bound the matmul:
+    each group is ~n·n_probe/C vectors, and the bucket id doubles as a
+    partition key at scale. Output: (id_a, id_b, cosine), id_a < id_b.
+    """
+    from .similarity import _normalize
+    from ..runtime import cluster_cpus
+    n_parts = max(16, cluster_cpus() * 4)
 
-    def batch_pairs(batch: pa.Table) -> pa.Table:
-        g_ids, g_mat = ray.get(ref)
-        b_ids = np.array(batch.column(id_col).to_pylist())
-        b_mat = np.array(batch.column(vec_col).to_pylist(),
-                         dtype=np.float32)
-        bn = np.linalg.norm(b_mat, axis=1)
-        bn[bn == 0] = 1.0
-        sims = (b_mat / bn[:, None]) @ g_mat.T
+    n = ds.count()
+    if n_centroids is None:
+        n_centroids = max(4, min(1 << 14, int(np.sqrt(max(n, 1)))))
+    # small-C regime: probe a majority of buckets so ANY pair shares
+    # one (pigeonhole) — recall is exact while the dataflow stays
+    # bucketed. At scale C=√n ≫ p and recall is probabilistic,
+    # governed by n_probe (near-dup pairs rank centroids alike).
+    if n_centroids <= 64:
+        n_probe = max(n_probe, n_centroids // 2 + 1)
+    n_probe = min(n_probe, n_centroids)
+
+    # deterministic centroids: seeded sample of the vectors themselves
+    sample = ds.random_sample(
+        min(1.0, (n_centroids * 4) / max(1, n)), seed=seed)
+    rows = sample.take(n_centroids)
+    cent = _normalize(np.array([r[vec_col] for r in rows],
+                               dtype=np.float64))
+
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        ids = np.array(batch.column(id_col).to_pylist())
+        mat = _normalize(np.array(batch.column(vec_col).to_pylist(),
+                                  dtype=np.float64))
+        sims = mat @ cent.T
+        p = min(n_probe, sims.shape[1])
+        probes = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+        out_id = np.repeat(ids, p)
+        out_bucket = probes.reshape(-1).astype(np.int32)
+        out_vec = np.repeat(mat, p, axis=0)
+        return pa.table({
+            "id": pa.array(out_id, pa.int64()),
+            "bucket": pa.array(out_bucket, pa.int32()),
+            "pid": pa.array((out_bucket % n_parts).astype(np.int32)),
+            "vec": pa.array(out_vec.tolist(), pa.list_(pa.float64())),
+        })
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        """One coarse partition (≥1 whole buckets): per bucket, matmul
+        among members, emit (id_a, id_b, cosine) above threshold."""
+        ids = group.column("id").to_numpy()
+        buckets = group.column("bucket").to_numpy()
+        vecs = np.array(group.column("vec").to_pylist(),
+                        dtype=np.float64)
+        order = np.lexsort((ids, buckets))
+        ids, buckets, vecs = ids[order], buckets[order], vecs[order]
         out_a, out_b, out_s = [], [], []
-        for i in range(len(b_ids)):
-            hit = np.where(sims[i] >= threshold)[0]
-            for j in hit:
-                if b_ids[i] < g_ids[j]:
-                    out_a.append(int(b_ids[i]))
-                    out_b.append(int(g_ids[j]))
-                    out_s.append(float(sims[i, j]))
-        return pa.table({"id_a": out_a, "id_b": out_b,
-                         "cosine": np.array(out_s, dtype=np.float64)})
+        run = 0
+        for i in range(1, len(ids) + 1):
+            if i == len(ids) or buckets[i] != buckets[run]:
+                if i - run > 1:
+                    rid, rv = ids[run:i], vecs[run:i]
+                    sims = rv @ rv.T
+                    xs, ys = np.where(np.triu(sims >= threshold, k=1))
+                    for x, y in zip(xs, ys):
+                        a_, b_ = int(rid[x]), int(rid[y])
+                        if a_ == b_:
+                            continue
+                        if a_ > b_:
+                            a_, b_ = b_, a_
+                        out_a.append(a_)
+                        out_b.append(b_)
+                        out_s.append(float(sims[x, y]))
+                run = i
+        return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                         "id_b": pa.array(out_b, pa.int64()),
+                         "cosine": pa.array(out_s, pa.float64())})
 
-    return ds.map_batches(batch_pairs, batch_format="pyarrow",
-                          batch_size=2048)
+    pairs = (ds.map_batches(to_buckets, batch_format="pyarrow",
+                            batch_size=4096)
+             .groupby("pid")
+             .map_groups(bucket_pairs, batch_format="pyarrow"))
+    return _dedupe_pairs(pairs, n_parts, extra_col="cosine")
