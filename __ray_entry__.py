@@ -103,6 +103,23 @@ def _q_kg_eval(sf_dir: str):
         "auc": round(s.auc, 6), "n_fills": len(rows)}])
 
 
+def _q_kg_official_eval(sf_dir: str):
+    """Query-driven official evaluation (KBPEvaluator path): query
+    entities → fills → rewrite/filter chain → PER_RELATION threshold
+    tuning → P/R/F1/AUC vs the gold key (1-row result)."""
+    import pandas as pd
+    from stanford_relation_extractor_ray.pipelines.official import \
+        official_eval
+    n = 2000 if "0.01" in sf_dir else 200
+    out = official_eval(n, threshold_mode="PER_RELATION")
+    s = out["score"]
+    return pd.DataFrame([{
+        "precision": round(s.precision, 6),
+        "recall": round(s.recall, 6), "f1": round(s.f1, 6),
+        "n_fills": len(out["fills"]),
+        "n_queries": len(out["queries"])}])
+
+
 def _media_items(sf_dir: str):
     from stanford_relation_extractor_ray.corpus import documents_dataset
     from stanford_relation_extractor_ray.stages import media
@@ -293,6 +310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_transitive_edges": _q_kg_transitive,
         "kg_alternate_names": _q_kg_alternate_names,
         "kg_eval_score": _q_kg_eval,
+        "kg_official_eval": _q_kg_official_eval,
         # multimodal stages (stubbed codecs; rows-only check)
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,

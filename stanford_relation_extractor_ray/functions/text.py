@@ -100,3 +100,33 @@ def same_entity(a: str, b: str, entity_type: str,
 def extract_year(s: str) -> str | None:
     m = YEAR_RE.search(s)
     return m.group(0) if m else None
+
+
+_MONTH_NUM = {m: i + 1 for i, m in enumerate([
+    "January", "February", "March", "April", "May", "June", "July",
+    "August", "September", "October", "November", "December"])}
+
+
+def timex_normalize(s: str) -> str | None:
+    """SUTime-style timex normalization of the corpus date shapes
+    (reference: TimexAnnotation canonical values consumed by
+    CanonicalMentionRewrite, HeuristicSlotfillPostProcessors.java:388):
+    "May 3 , 1970" → "1970-05-03"; "May 1970" → "1970-05-XX";
+    "1970" → "1970-XX-XX". Returns None when no year is present."""
+    toks = s.split(" ")
+    month = day = None
+    year = None
+    for t in toks:
+        if t in _MONTH_NUM:
+            month = _MONTH_NUM[t]
+        elif t.isdigit() and len(t) == 4 and t[0] in "12":
+            year = t
+        elif t.isdigit() and 1 <= int(t) <= 31 and day is None:
+            day = int(t)
+    if year is None:
+        return None
+    if month is None:
+        return f"{year}-XX-XX"
+    if day is None:
+        return f"{year}-{month:02d}-XX"
+    return f"{year}-{month:02d}-{day:02d}"

@@ -155,3 +155,34 @@ def geo_consistency(fills):
     return (fills.map_batches(add_pid, batch_format="pyarrow")
             .groupby("pid")
             .map_groups(run_partition, batch_format="pyarrow"))
+
+
+class Geography:
+    """Level lookups over the broadcast geo tables — the reference's
+    ``Utils.geography().isValidCountry/Region/City`` surface
+    (``WorldKnowledgePostProcessor.java`` validity checks)."""
+
+    def __init__(self):
+        from ..world import CITIES, COUNTRIES, STATES
+        self._cities = frozenset(CITIES)
+        self._countries = frozenset(COUNTRIES)
+        self._regions = frozenset(STATES)
+
+    def is_country(self, name: str) -> bool:
+        return name in self._countries
+
+    def is_region(self, name: str) -> bool:
+        return name in self._regions
+
+    def is_city(self, name: str) -> bool:
+        return name in self._cities
+
+
+_GEO = None
+
+
+def get_geography() -> Geography:
+    global _GEO
+    if _GEO is None:
+        _GEO = Geography()
+    return _GEO

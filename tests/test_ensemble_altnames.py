@@ -78,3 +78,6 @@ def test_alternate_names_distinct_sentence_threshold(ray_session):
         ("Robert Jones", "per:alternate_names", "Bobby J"),
         ("Acme Corporation", "org:alternate_names", "ACME"),
     }
+    # fills carry real provenance: the min (doc_id, sent_idx) evidence
+    prov = {r["obj"]: (r["doc_id"], r["sent_idx"]) for r in out}
+    assert prov == {"Bobby J": ("d1", 0), "ACME": ("d5", 0)}

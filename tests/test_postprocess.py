@@ -1,0 +1,207 @@
+"""Rewrite/filter chain fixtures — one test per processor plus chain
+tests, mirroring the reference's HeuristicSlotfillPostProcessorsTest
+shape over hand-built fills (PostProcessorsData analog)."""
+
+import pyarrow as pa
+
+from stanford_relation_extractor_ray.schemas import FILLS_SCHEMA
+from stanford_relation_extractor_ray.stages import postprocess as P
+
+
+def _fill(**over):
+    f = {"subj": "Acme Corp", "subj_type": "ORGANIZATION",
+         "pred": "org:top_members/employees", "obj": "Jane Doe",
+         "obj_type": "PERSON", "score": 0.9, "doc_id": "d0",
+         "sent_idx": 0, "subj_span": [0, 2], "obj_span": [6, 8]}
+    f.update(over)
+    return f
+
+
+def _run(fills, gloss=None, **kw):
+    t = pa.Table.from_pylist(fills, schema=FILLS_SCHEMA)
+    if gloss is not None:
+        t = t.append_column("gloss", pa.array(gloss, pa.string()))
+    return P.unary_chain(t, **kw).to_pylist()
+
+
+# --- rewrites ---------------------------------------------------------
+
+def test_canonical_mention_number_extraction():
+    out = _run([_fill(pred="per:age", subj="Jane Doe",
+                      subj_type="PERSON", obj="aged 45",
+                      obj_type="NUMBER")])
+    assert out[0]["obj"] == "45"
+
+
+def test_canonical_mention_timex_normalization():
+    out = _run([_fill(pred="org:founded", obj="May 3 , 1970",
+                      obj_type="DATE")])
+    assert out[0]["obj"] == "1970-05-03"
+
+
+def test_expand_to_maximal_phrase():
+    gloss = "Jane Doe serves as a deputy curator there"
+    out = _run([_fill(pred="per:title", subj="Jane Doe",
+                      subj_type="PERSON", obj="curator",
+                      obj_type="TITLE", subj_span=[0, 2],
+                      obj_span=[6, 7])], gloss=[gloss])
+    assert out[0]["obj"] == "deputy curator"
+    assert out[0]["obj_span"] == [5, 7]
+
+
+def test_top_employee_to_founder():
+    gloss = "Acme Corp was founded and led by Jane Doe"
+    out = _run([_fill(subj_span=[0, 2], obj_span=[7, 9])],
+               gloss=[gloss])
+    assert out[0]["pred"] == "org:founded_by"
+
+
+def test_born_in_keeps_on_birth_keyword():
+    gloss = "Robert Smith was born in Toronto"
+    out = _run([_fill(pred="per:city_of_birth", subj="Robert Smith",
+                      subj_type="PERSON", obj="Toronto",
+                      obj_type="CITY", subj_span=[0, 2],
+                      obj_span=[5, 6])], gloss=[gloss])
+    assert out[0]["pred"] == "per:city_of_birth"
+
+
+def test_born_in_rewrites_to_residence():
+    gloss = "Robert Smith lives happily in Toronto"
+    out = _run([_fill(pred="per:city_of_birth", subj="Robert Smith",
+                      subj_type="PERSON", obj="Toronto",
+                      obj_type="CITY", subj_span=[0, 2],
+                      obj_span=[5, 6])], gloss=[gloss])
+    assert out[0]["pred"] == "per:cities_of_residence"
+
+
+def test_died_in_rewrite():
+    gloss = "Robert Smith died last winter in Toronto"
+    out = _run([_fill(pred="per:cities_of_residence",
+                      subj="Robert Smith", subj_type="PERSON",
+                      obj="Toronto", obj_type="CITY", subj_span=[0, 2],
+                      obj_span=[6, 7])], gloss=[gloss],
+               geo=__import__(
+                   "stanford_relation_extractor_ray.stages.worldknowledge",
+                   fromlist=["get_geography"]).get_geography())
+    assert out[0]["pred"] == "per:city_of_death"
+
+
+def test_age_rewrite_decades():
+    gloss = "Jane Doe celebrated turning 4 decades old"
+    out = _run([_fill(pred="per:age", subj="Jane Doe",
+                      subj_type="PERSON", obj="4", obj_type="NUMBER",
+                      subj_span=[0, 2], obj_span=[4, 5])],
+               gloss=[gloss])
+    assert out[0]["obj"] == "40"
+
+
+# --- filters ----------------------------------------------------------
+
+def test_filter_unrelated_url_drops_and_rewrites():
+    kept = _run([_fill(pred="org:website", obj="www.acme.com/about",
+                       obj_type="URL")])
+    assert kept and kept[0]["obj"] == "www.acme.com/"
+    dropped = _run([_fill(pred="org:website",
+                          obj="www.zzzqqq.com", obj_type="URL")])
+    assert dropped == []
+
+
+def test_sanity_check_age_bounds():
+    assert _run([_fill(pred="per:age", subj="Jane Doe",
+                       subj_type="PERSON", obj="250",
+                       obj_type="NUMBER")]) == []
+    assert _run([_fill(pred="per:age", subj="Jane Doe",
+                       subj_type="PERSON", obj="45",
+                       obj_type="NUMBER")]) != []
+
+
+def test_sanity_check_employee_counts():
+    assert _run([_fill(pred="org:number_of_employees/members",
+                       obj="7", obj_type="NUMBER")]) == []
+    assert _run([_fill(pred="org:number_of_employees/members",
+                       obj="4800", obj_type="NUMBER")]) != []
+
+
+def test_conform_guidelines_invalid_title():
+    assert _run([_fill(pred="per:title", subj="Jane Doe",
+                       subj_type="PERSON", obj="member",
+                       obj_type="TITLE")]) == []
+
+
+def test_conform_guidelines_date_needs_year():
+    assert _run([_fill(pred="org:founded", obj="May 3",
+                       obj_type="DATE")]) == []
+
+
+def test_conform_guidelines_division_keyword():
+    gloss = "the Research Division of Acme Corp is led by Jane Doe"
+    assert _run([_fill(subj_span=[4, 6], obj_span=[9, 11])],
+                gloss=[gloss]) == []
+
+
+def test_employee_filter_said():
+    gloss = "Acme Corp said yesterday that money manager Jane Doe left"
+    assert _run([_fill(pred="per:employee_of", subj="Jane Doe",
+                       subj_type="PERSON", obj="Acme Corp",
+                       obj_type="ORGANIZATION", subj_span=[7, 9],
+                       obj_span=[0, 2])], gloss=[gloss]) == []
+
+
+def test_very_low_probability_filter():
+    assert _run([_fill(score=0.001)]) == []
+
+
+def test_filter_already_known_slots():
+    known = {"Acme Corp": ["Jane Doe"]}
+    assert _run([_fill()], known=known) == []
+    # substring containment also fails
+    known2 = {"Acme Corp": ["Doe"]}
+    assert _run([_fill()], known=known2) == []
+    assert _run([_fill(obj="Bob Brown")], known=known) != []
+
+
+def test_filter_ignored_slots():
+    ignored = {"Acme Corp": {"org:top_members/employees"}}
+    assert _run([_fill()], ignored=ignored) == []
+    assert _run([_fill()], ignored={}) != []
+
+
+# --- chain order ------------------------------------------------------
+
+def test_chain_rewrite_then_filter():
+    """TopEmployeeToFounder runs BEFORE the guidelines filter, so a
+    'founded' justification escapes the invalid-top-employee list
+    (rewrites always precede filters, SlotfillPostProcessor.java:121)."""
+    gloss = "Acme Corp founded frontman Jane Doe"
+    out = _run([_fill(subj_span=[0, 2], obj_span=[4, 6])],
+               gloss=[gloss])
+    assert out and out[0]["pred"] == "org:founded_by"
+
+
+def test_chain_age_rewrite_feeds_sanity_check():
+    """AgeRewrite scales '15 decades' to 150, which the sanity check
+    then rejects — order matters."""
+    gloss = "Jane Doe celebrated turning 15 decades old"
+    out = _run([_fill(pred="per:age", subj="Jane Doe",
+                      subj_type="PERSON", obj="15", obj_type="NUMBER",
+                      subj_span=[0, 2], obj_span=[4, 5])],
+               gloss=[gloss])
+    assert out == []
+
+
+def test_attach_gloss_distributed(ray_session):
+    """fills ⋈ sentences join attaches the right sentence text."""
+    import ray.data as rd
+    from stanford_relation_extractor_ray.corpus import documents_dataset
+    from stanford_relation_extractor_ray.stages import nlp
+    sents = nlp.annotate(documents_dataset(30))
+    rows = [s for s in sents.take_all() if s["n_tokens"] > 0][:5]
+    fills = rd.from_items([
+        _fill(doc_id=s["doc_id"], sent_idx=s["sent_idx"])
+        for s in rows])
+    out = P.attach_gloss(fills, nlp.annotate(documents_dataset(30))) \
+        .take_all()
+    assert len(out) == len(rows)
+    want = {(s["doc_id"], s["sent_idx"]): s["text"] for s in rows}
+    for r in out:
+        assert r["gloss"] == want[(r["doc_id"], r["sent_idx"])]
