@@ -113,16 +113,23 @@ def revenue_by_nation(sf_dir: str):
 # --- anti-join via broadcast key set (reference: FilterAlreadyKnownSlots)
 
 def customers_without_urgent_orders(sf_dir: str):
-    """Anti-join via broadcast key set, with the filter pushed into the
-    read side (only URGENT orders' keys are collected)."""
+    """Anti-join via broadcast key set. The key set is computed
+    DISTRIBUTED — per-batch filter + in-batch distinct, then a global
+    distinct groupby — and only the (small) distinct-key result is
+    collected and broadcast; the fact table never reaches the driver."""
     import ray
 
-    custkeys = set()
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
-    for batch in orders.iter_batches(batch_format="pyarrow"):
+    def urgent_keys(batch: pa.Table) -> pa.Table:
         mask = pc.equal(batch.column("o_orderpriority"), "1-URGENT")
-        custkeys.update(batch.filter(mask).column("o_custkey")
-                        .to_pylist())
+        return (batch.filter(mask).select(["o_custkey"])
+                .group_by("o_custkey").aggregate([]))
+
+    distinct = (_read(sf_dir, "orders",
+                      ["o_custkey", "o_orderpriority"])
+                .map_batches(urgent_keys, batch_format="pyarrow",
+                             batch_size=65536)
+                .groupby("o_custkey").count())
+    custkeys = {r["o_custkey"] for r in distinct.take_all()}
     ref = ray.put(custkeys)
 
     def anti(batch: pa.Table) -> pa.Table:
@@ -139,38 +146,63 @@ def customers_without_urgent_orders(sf_dir: str):
 # --- per-group top-1 (reference: SINGLE-cardinality keep-best) -----------
 
 def latest_order_per_customer(sf_dir: str):
+    """Per-key top-1 via coarse-pid partitions: one Ray group per
+    PARTITION (O(CPUs) groups), per-key top-1 as a vectorized pandas
+    sort + drop_duplicates inside it — never one Ray group per
+    customer (per-group overhead death at 100× keys)."""
+    import pandas as pd
+
+    from ..runtime import cluster_cpus
+    n_parts = max(16, cluster_cpus() * 4)
     ds = _read(sf_dir, "orders",
                ["o_custkey", "o_orderkey", "o_orderdate"])
 
-    def top1(group: pa.Table) -> pa.Table:
-        idx = pc.select_k_unstable(
-            group, k=1, sort_keys=[("o_orderdate", "descending"),
-                                   ("o_orderkey", "descending")])
-        return group.take(idx)
+    def add_pid(batch: pa.Table) -> pa.Table:
+        pid = (batch.column("o_custkey").to_numpy()
+               % n_parts).astype(np.int32)
+        return batch.append_column("pid", pa.array(pid))
 
-    return (ds.groupby("o_custkey").map_groups(top1,
-                                               batch_format="pyarrow")
+    def top1(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_custkey", "o_orderdate", "o_orderkey"],
+            ascending=[True, False, False], kind="mergesort")
+        return df.drop_duplicates("o_custkey", keep="first")[
+            ["o_custkey", "o_orderkey", "o_orderdate"]]
+
+    return (ds.map_batches(add_pid, batch_format="pyarrow")
+            .groupby("pid").map_groups(top1, batch_format="pandas")
             .sort("o_custkey"))
 
 
 # --- distinct counts (reference: AlternateNamesExtractor nunique) --------
 
 def event_type_diversity(sf_dir: str):
+    """Distinct counts per key: in-batch (user, type) distinct
+    pre-aggregation, coarse-pid route (O(CPUs) Ray groups), then an
+    in-partition pandas nunique per user — never one Ray group per
+    user."""
+    import pandas as pd
+
+    from ..runtime import cluster_cpus
+    n_parts = max(16, cluster_cpus() * 4)
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        return (batch.group_by(["user_id", "event_type"])
-                .aggregate([]))
+        t = (batch.group_by(["user_id", "event_type"]).aggregate([]))
+        pid = (t.column("user_id").to_numpy()
+               % n_parts).astype(np.int32)
+        return t.append_column("pid", pa.array(pid))
 
-    def count_distinct(group: pa.Table) -> pa.Table:
-        uid = group.column("user_id")[0].as_py()
-        n = len(set(group.column("event_type").to_pylist()))
-        return pa.table({"user_id": pa.array([uid], pa.int64()),
-                         "n_event_types": pa.array([n], pa.int64())})
+    def count_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("user_id", sort=True)["event_type"]
+               .nunique().reset_index())
+        out.columns = ["user_id", "n_event_types"]
+        return out
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("user_id")
-            .map_groups(count_distinct, batch_format="pyarrow")
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("pid")
+            .map_groups(count_distinct, batch_format="pandas")
             .sort("user_id"))
 
 
@@ -201,26 +233,79 @@ def hourly_event_value(sf_dir: str):
 
 # --- scalar string/date functions ----------------------------------------
 
-def nation_name_distances(sf_dir: str, max_dist: int = 4):
-    """Self-join of nation names at edit distance ≤ max_dist
-    (reference scalar: Utils.levenshteinDistance)."""
+def nation_name_distances(sf_dir: str, max_dist: int = 4,
+                          grid: int = 4):
+    """Distributed θ-self-join of nation names at edit distance ≤
+    max_dist (reference scalar: Utils.levenshteinDistance).
+
+    Triangle-grid replication join — the generic distributed all-pairs
+    shape: each row hashes to one of ``grid`` blocks and is replicated
+    to every grid CELL (i, j), i ≤ j, where its block is the row side
+    (i) or column side (j); each cell computes its A×B pairs
+    independently (i == j cells do the in-block triangle). Row copies
+    = grid per row; cells = grid·(grid+1)/2 independent partitions; no
+    driver-side pair loop. The predicate (levenshtein) runs inside the
+    cell, vectorized over the (small) cell cross-product."""
     from ..functions.text import levenshtein
 
-    rows = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
-    out = []
-    for a in rows:
-        for b in rows:
-            if a["n_nationkey"] >= b["n_nationkey"]:
-                continue
-            d = levenshtein(a["n_name"], b["n_name"])
-            if d <= max_dist:
-                out.append({"name_a": a["n_name"], "name_b": b["n_name"],
-                            "dist": d})
-    out.sort(key=lambda r: (r["name_a"], r["name_b"]))
-    return pa.Table.from_pylist(out) if out else pa.table(
-        {"name_a": pa.array([], pa.string()),
-         "name_b": pa.array([], pa.string()),
-         "dist": pa.array([], pa.int64())})
+    ds = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        keys = batch.column("n_nationkey").to_pylist()
+        names = batch.column("n_name").to_pylist()
+        out_k, out_n, out_cell, out_side = [], [], [], []
+        for k, nm in zip(keys, names):
+            b = k % grid
+            for j in range(grid):
+                i, jj = (b, j) if b <= j else (j, b)
+                out_k.append(k)
+                out_n.append(nm)
+                out_cell.append(i * grid + jj)
+                out_side.append("A" if b == i else "B")
+        return pa.table({
+            "n_nationkey": pa.array(out_k, pa.int64()),
+            "n_name": pa.array(out_n, pa.string()),
+            "cell": pa.array(out_cell, pa.int32()),
+            "side": pa.array(out_side, pa.string())})
+
+    def cell_pairs(group: pa.Table) -> pa.Table:
+        cell = group.column("cell")[0].as_py()
+        diag = (cell // grid) == (cell % grid)
+        keys = group.column("n_nationkey").to_pylist()
+        names = group.column("n_name").to_pylist()
+        sides = group.column("side").to_pylist()
+        # on the diagonal every row is doubly-tagged A and B with the
+        # same block — dedupe to one copy and do the triangle
+        rows = sorted({(k, n, s if not diag else "A")
+                       for k, n, s in zip(keys, names, sides)})
+        a_rows = [(k, n) for k, n, s in rows if s == "A"]
+        b_rows = a_rows if diag else [(k, n) for k, n, s in rows
+                                      if s == "B"]
+        out = []
+        for xa, (ka, na) in enumerate(a_rows):
+            for xb, (kb, nb) in enumerate(b_rows):
+                if diag and xb <= xa:
+                    continue            # triangle within the block
+                if ka == kb:
+                    continue
+                if ka > kb:             # normalize to key order
+                    na_, nb_ = nb, na
+                else:
+                    na_, nb_ = na, nb
+                d = levenshtein(na_, nb_)
+                if d <= max_dist:
+                    out.append((na_, nb_, d))
+        out.sort()
+        return pa.table({
+            "name_a": pa.array([o[0] for o in out], pa.string()),
+            "name_b": pa.array([o[1] for o in out], pa.string()),
+            "dist": pa.array([o[2] for o in out], pa.int64())})
+
+    return (ds.map_batches(replicate, batch_format="pyarrow")
+            .groupby("cell")
+            .map_groups(cell_pairs, batch_format="pyarrow")
+            .select_columns(["name_a", "name_b", "dist"])
+            .sort(["name_a", "name_b"]))
 
 
 def orders_per_year(sf_dir: str):
@@ -248,12 +333,24 @@ def high_value_repeat_customers(sf_dir: str, min_orders: int = 15,
     """Customers that appear in BOTH derived sets (intersection via
     broadcast semi-join): ≥ min_orders orders AND positive balance."""
     import ray
-    from ray.data.aggregate import Count
 
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        return (batch.group_by("o_custkey")
+                .aggregate([("o_custkey", "count")])
+                .rename_columns(["o_custkey", "p_n"]))
+
+    from ray.data.aggregate import Sum
     many = (_read(sf_dir, "orders", ["o_custkey"])
-            .groupby("o_custkey").aggregate(Count(alias_name="n")))
-    keys = {r["o_custkey"] for r in many.take_all()
-            if r["n"] >= min_orders}
+            .map_batches(partial_counts, batch_format="pyarrow",
+                         batch_size=65536)
+            .groupby("o_custkey").aggregate(Sum("p_n", alias_name="n")))
+    # threshold applied DISTRIBUTED; only qualifying keys reach the
+    # driver (they are the broadcast side regardless)
+    qualifying = many.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n"),
+                                            min_orders)),
+        batch_format="pyarrow")
+    keys = {r["o_custkey"] for r in qualifying.take_all()}
     ref = ray.put(keys)
 
     def semi(batch: pa.Table) -> pa.Table:
