@@ -44,6 +44,52 @@ LR_WEIGHT = 0.6          # ensemble weight of the LR component
 HASH_DIM = 1 << 15
 NO_RELATION = "no_relation"
 
+# TopEmployeesClassifier trigger list
+# (kbp/slotfilling/classify/TopEmployeesClassifier.java:25-107)
+TOP_EMPLOYEE_TRIGGERS = frozenset("""
+executive chairman president chief head general ceo officer founder
+found leader vice king prince manager host minister adviser boss chair
+ambassador shareholder star governor investor representative dean
+commissioner deputy commander scientist midfielder speaker researcher
+editor chancellor fellow leadership diplomat attorney associate striker
+pilot captain banker mayer premier producer architect designer major
+advisor presidency senator specialist faculty monitor chairwoman mayor
+columnist mediator prosecutor entrepreneur creator superstar
+commentator principal operative businessman peacekeeper investigator
+coordinator knight lawmaker justice publisher playmaker moderator
+negotiator""".split())
+_TOP_EMP_SLOT_TYPES = frozenset(
+    {"ORGANIZATION", "COUNTRY", "STATE_OR_PROVINCE", "CITY"})
+
+
+def top_employee_relation(subj_type: str, obj_type: str, between: str,
+                          order_so: bool) -> str | None:
+    """The TopEmployeesClassifier decision for one sentence
+    (``TopEmployeesClassifier.java:115-195``): a trigger keyword in a
+    short (<5 token) span between the mentions, not broken by another
+    entity; PERSON×ORG-ish → per:employee_of, ORG×PERSON →
+    org:top_members/employees (the latter vetoed when the span is
+    punctuation-broken and the org precedes — 'Org, said president X').
+    Entity-breakage is approximated by capitalized between-tokens (the
+    lossy surface carries no NER)."""
+    toks = between.split(" ") if between else []
+    if len(toks) >= 5:
+        return None
+    if any(t[:1].isupper() for t in toks):
+        return None                  # brokenByPERorORG approximation
+    from .deps import lemma
+    trigger = any(t.lower() in TOP_EMPLOYEE_TRIGGERS
+                  or lemma(t) in TOP_EMPLOYEE_TRIGGERS for t in toks)
+    if not trigger:
+        return None
+    broken_punct = any(t in (",", ";", '"') for t in toks)
+    if subj_type == "PERSON" and obj_type in _TOP_EMP_SLOT_TYPES:
+        return "per:employee_of"
+    if subj_type == "ORGANIZATION" and obj_type == "PERSON":
+        if not order_so or not broken_punct:
+            return "org:top_members/employees"
+    return None
+
 
 def hash_features(features: list[str], dim: int = HASH_DIM) -> np.ndarray:
     """Stable feature hashing (crc32 — deterministic across processes)."""
@@ -129,8 +175,10 @@ def ensemble_combine(components: list[dict], mode: str = "any") -> dict:
 class EnsembleScorer:
     """Actor-pool batch transform: bags table → fills table."""
 
-    def __init__(self, model_ref=None, mode: str = "any"):
+    def __init__(self, model_ref=None, mode: str = "any",
+                 with_top_employees: bool = False):
         self.mode = mode
+        self.with_top_employees = with_top_employees
         self.lr: LRModel | None = None
         if model_ref is not None:
             import ray
@@ -180,6 +228,22 @@ class EnsembleScorer:
             out[rel] = (1.0 - score, best_i, best_s)
         return out
 
+    def _top_employee_component(self, subj_type, obj_type,
+                                sent_features):
+        """Third ensemble component: the TopEmployeesClassifier
+        (opt-in — it is a recall-oriented heuristic the reference
+        likewise enables via the classifier list)."""
+        per_rel: dict[str, list[tuple[int, float]]] = {}
+        for i, feats in enumerate(sent_features):
+            between = next((f[8:] for f in feats
+                            if f.startswith("between:")), "")
+            rel = top_employee_relation(subj_type, obj_type, between,
+                                        "order:SO" in feats)
+            if rel is not None:
+                per_rel.setdefault(rel, []).append(
+                    (i, PATTERN_SENT_SCORE))
+        return self._noisy_or(per_rel)
+
     def _score_bag(self, subj_type, obj_type, sent_features):
         """→ {relation: (combined_score, best_sent_i, best_sent_score)}"""
         components = [self._pattern_component(subj_type, obj_type,
@@ -187,6 +251,9 @@ class EnsembleScorer:
         if self.lr is not None:
             components.append(self._lr_component(subj_type, obj_type,
                                                  sent_features))
+        if self.with_top_employees:
+            components.append(self._top_employee_component(
+                subj_type, obj_type, sent_features))
         return ensemble_combine(components, self.mode)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -220,13 +287,15 @@ class EnsembleScorer:
 
 
 def classify(bags, *, model_ref=None, concurrency=None,
-             batch_size: int = 1024, mode: str = "any"):
+             batch_size: int = 1024, mode: str = "any",
+             with_top_employees: bool = False):
     if concurrency is None:
         from ..runtime import pool_size
         concurrency = pool_size()
     return bags.map_batches(
         EnsembleScorer,
-        fn_constructor_kwargs={"model_ref": model_ref, "mode": mode},
+        fn_constructor_kwargs={"model_ref": model_ref, "mode": mode,
+                               "with_top_employees": with_top_employees},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
 

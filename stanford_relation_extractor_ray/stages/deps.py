@@ -63,6 +63,8 @@ _LEMMA = {
     "adheres": "adhere", "holds": "hold", "stands": "stand",
     "celebrated": "celebrate", "passed": "pass",
     "succumbed": "succumb", "charges": "charge", "members": "member",
+    "chaired": "chair", "founded": "found", "owned": "own",
+    "employed": "employ",
 }
 
 _NOUN_TAGS = frozenset({"NN", "NNS", "NNP", "CD"})

@@ -167,6 +167,27 @@ def pair_candidates_fused(annotator, batch: pa.Table,
         schema=CANDIDATES_SCHEMA)
 
 
+def vote_span_ner(mentions, span: tuple[int, int]) -> str | None:
+    """NER vote over a token span (``RelationMentionAnnotator.java:
+    368-376`` voteOnSpanNEType): each typed mention votes with its
+    token overlap; argmax wins, ties broken by tag name for
+    determinism. ``mentions`` iterates (begin, end, ner) triples or
+    mention dicts."""
+    b, e = span
+    votes: dict[str, int] = {}
+    for m in mentions:
+        if isinstance(m, dict):
+            mb, me, ner = m["begin"], m["end"], m["ner"]
+        else:
+            mb, me, ner = m[0], m[1], m[2]
+        ov = min(e, me) - max(b, mb)
+        if ov > 0:
+            votes[ner] = votes.get(ner, 0) + ov
+    if not votes:
+        return None
+    return min(votes, key=lambda t: (-votes[t], t))
+
+
 def pair(sentences, *, batch_size: int = 1024):
     """sentences Dataset → candidates Dataset (stateless tasks)."""
     return sentences.map_batches(pair_mentions, batch_format="pyarrow",

@@ -49,7 +49,12 @@ class NLPAnnotator:
     measured ~40× slower on the bench corpus).
     """
 
-    def __init__(self, seed: int = 42):
+    def __init__(self, seed: int = 42,
+                 max_sentence_tokens: int | None = None):
+        # max-sentence-length gate (reference: index.maxsentencelength
+        # = 50 train/parse, 150 provenance, StanfordMIMLRE.properties
+        # :24,73; TextOps.java:426,452) — None disables the gate
+        self.max_sentence_tokens = max_sentence_tokens
         world = get_world(seed)
         self.lexicon = world.ner_lexicon()
         # token trie: first token → {token tuple → tag}, longest first
@@ -120,11 +125,15 @@ class NLPAnnotator:
         for doc_id, spans in zip(doc_ids, span_lists):
             last_seen: dict[str, str] = {}
             sent_idx = 0
+            cap = self.max_sentence_tokens
             for span in spans:
                 if span["kind"] != "text":
                     continue
                 text = span["text"]
                 tokens = text.split(" ") if text else []
+                if cap is not None and len(tokens) > cap:
+                    sent_idx += 1    # gate long sentences, keep indices
+                    continue
                 yield doc_id, sent_idx, tokens, \
                     self._mentions(tokens, last_seen)
                 sent_idx += 1
@@ -166,12 +175,16 @@ class NLPAnnotator:
 
 
 def annotate(documents, *, seed: int = 42, concurrency=None,
-             batch_size: int = 512, num_cpus: float = 1):
+             batch_size: int = 512, num_cpus: float = 1,
+             max_sentence_tokens: int | None = None):
     """documents Dataset → sentences Dataset (actor pool)."""
     if concurrency is None:
         from ..runtime import pool_size
         concurrency = pool_size()
     return documents.map_batches(
-        NLPAnnotator, fn_constructor_kwargs={"seed": seed},
+        NLPAnnotator,
+        fn_constructor_kwargs={"seed": seed,
+                               "max_sentence_tokens":
+                                   max_sentence_tokens},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=num_cpus)

@@ -64,6 +64,7 @@ def test_lr_component_gated_and_combined():
     scorer = EnsembleScorer.__new__(EnsembleScorer)
     scorer.lr = model
     scorer.mode = "any"
+    scorer.with_top_employees = False
     out = scorer(_bag("Robert Smith", "PERSON", "Toronto", "CITY",
                       [feats("hails from")]))
     rows = out.to_pylist()
