@@ -11,12 +11,16 @@ calls ray.init()/ray.shutdown().
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+_GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "golden")
 
 
 # --------------------------------------------------------------------------
@@ -161,7 +165,12 @@ def _q_kg_graph_nodes(sf_dir: str):
     fills = finalize_fills(extract_fills(documents_dataset(n))) \
         .materialize()
     nodes, _edges = build_graph(fills)
-    return nodes
+    # aliases list → '|'-joined string so the result is flat-comparable
+    aliases = pa.array(["|".join(a.as_py())
+                        for a in nodes.column("aliases")], pa.string())
+    i = nodes.column_names.index("aliases")
+    return nodes.set_column(i, "aliases", aliases).sort_by(
+        [("entity_id", "ascending")])
 
 
 def _q_dedup_exact(sf_dir: str):
@@ -490,6 +499,89 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(text) AS md5 FROM documents
             ORDER BY doc_id
         """,
-        # no oracle entries (non-SQL-expressible / approximate ops):
-        # dedup_simhash, similarity_ivf, text_langid, kg_triples, kg_nodes
+        "text_langid": """
+            -- stopword-overlap argmax; ties -> alphabetically first
+            -- language (matches the LangId actor's strict-> scan)
+            WITH t AS (SELECT doc_id,
+                       list_distinct(string_split(lower(text), ' ')) w
+                       FROM documents),
+            c AS (SELECT doc_id,
+                len(list_intersect(w, ['der','die','und','das','ein',
+                    'eine','ist','für'])) AS de,
+                len(list_intersect(w, ['the','and','of','a','to','in',
+                    'is','for','on','with','value','table','row']))
+                    AS en,
+                len(list_intersect(w, ['el','la','y','de','un','una',
+                    'es','para','con'])) AS es,
+                len(list_intersect(w, ['le','la','et','de','un','une',
+                    'en','est','pour'])) AS fr
+                FROM t)
+            SELECT doc_id, CASE
+                WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+                WHEN de = greatest(de, en, es, fr) THEN 'de'
+                WHEN en = greatest(de, en, es, fr) THEN 'en'
+                WHEN es = greatest(de, en, es, fr) THEN 'es'
+                ELSE 'fr' END AS pred_lang
+            FROM c ORDER BY doc_id
+        """,
+        # golden-file oracles (semantics SQL cannot reproduce —
+        # simhash banding, IVF probing, the KG extractor; pins
+        # generated by scripts/make_goldens.py from the deterministic
+        # pipeline; driver gate runs at sf0.01)
+        "dedup_simhash": f"""
+            SELECT id_a, id_b, hamming FROM read_csv(
+                '{_GOLDEN}/dedup_simhash_sf0_01.csv', header=true)
+            ORDER BY id_a, id_b
+        """,
+        "similarity_ivf": f"""
+            SELECT vec_id, cosine FROM read_csv(
+                '{_GOLDEN}/similarity_ivf_sf0_01.csv', header=true)
+        """,
+        "kg_triples": f"""
+            SELECT subj, subj_type, pred, obj, obj_type, doc_id,
+                   sent_idx
+            FROM read_csv('{_GOLDEN}/kg_triples_sf0_01.csv',
+                          header=true)
+            ORDER BY subj, pred, obj
+        """,
+        "kg_nodes": f"""
+            SELECT entity_id, name, type, COALESCE(aliases, '') AS
+                   aliases
+            FROM read_csv('{_GOLDEN}/kg_nodes_sf0_01.csv', header=true,
+                          all_varchar=true)
+            ORDER BY entity_id
+        """,
+        "kg_symmetric_edges": f"""
+            SELECT subj, pred, obj FROM read_csv(
+                '{_GOLDEN}/kg_symmetric_edges_sf0_01.csv', header=true)
+            ORDER BY subj, pred, obj
+        """,
+        "kg_transitive_edges": f"""
+            SELECT subj, pred, obj FROM read_csv(
+                '{_GOLDEN}/kg_transitive_edges_sf0_01.csv', header=true)
+            ORDER BY subj, pred, obj
+        """,
+        "kg_alternate_names": f"""
+            SELECT subj, pred, obj FROM read_csv(
+                '{_GOLDEN}/kg_alternate_names_sf0_01.csv', header=true)
+            ORDER BY subj, pred, obj
+        """,
+        "kg_eval_score": f"""
+            SELECT * FROM read_csv('{_GOLDEN}/kg_eval_score_sf0_01.csv',
+                                   header=true)
+        """,
+        "kg_official_eval": f"""
+            SELECT * FROM read_csv(
+                '{_GOLDEN}/kg_official_eval_sf0_01.csv', header=true)
+        """,
+        "media_decode": f"""
+            SELECT * FROM read_csv('{_GOLDEN}/media_decode_sf0_01.csv',
+                                   header=true)
+            ORDER BY media_ref
+        """,
+        "media_frames": f"""
+            SELECT * FROM read_csv('{_GOLDEN}/media_frames_sf0_01.csv',
+                                   header=true)
+            ORDER BY media_ref, frame_idx
+        """,
     }

@@ -517,12 +517,12 @@ def embedding_dup_pairs(ds, *, vec_col: str = "embedding",
         n_probe = max(n_probe, n_centroids // 2 + 1)
     n_probe = min(n_probe, n_centroids)
 
-    # deterministic centroids: seeded sample of the vectors themselves
-    sample = ds.random_sample(
-        min(1.0, (n_centroids * 4) / max(1, n)), seed=seed)
-    rows = sample.take(n_centroids)
-    cent = _normalize(np.array([r[vec_col] for r in rows],
-                               dtype=np.float64))
+    # deterministic centroids: hash-seeded sample of the vectors
+    # themselves (stable across runs/partitionings — see
+    # similarity.centroid_sample)
+    from .similarity import centroid_sample
+    cent = centroid_sample(ds, n_centroids, vec_col=vec_col,
+                           id_col=id_col, seed=seed)
 
     def to_buckets(batch: pa.Table) -> pa.Table:
         ids = np.array(batch.column(id_col).to_pylist())

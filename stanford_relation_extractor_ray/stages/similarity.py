@@ -64,19 +64,47 @@ def topk_cosine(ds, query_vec, k: int = 10, *,
     return out
 
 
+def centroid_sample(ds, n: int, *, vec_col: str = "embedding",
+                    id_col: str = "vec_id", seed: int = 13) -> np.ndarray:
+    """Deterministic pseudo-random sample of n vectors: the rows with
+    the smallest crc32(seed|id) — a seeded hash order is stable across
+    runs, partitionings and cluster sizes, unlike
+    ``Dataset.random_sample`` whose per-task RNG draws depend on block
+    scheduling (observed nondeterminism). Distributed shape: per-batch
+    partial top-k by hash, tiny global sort-limit."""
+    import zlib
+
+    def batch_top(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        h = np.fromiter(
+            (zlib.crc32(f"{seed}|{i}".encode()) for i in ids),
+            dtype=np.uint64, count=len(ids))
+        take = min(n, len(ids))
+        part = np.argpartition(h, take - 1)[:take] if take else []
+        return pa.table({
+            "h": pa.array(h[part], pa.uint64()),
+            id_col: pa.array([ids[int(i)] for i in part]),
+            vec_col: batch.column(vec_col).take(
+                pa.array(part, pa.int64())),
+        })
+
+    rows = (ds.map_batches(batch_top, batch_format="pyarrow",
+                           batch_size=4096)
+            .sort(["h", id_col]).limit(n).take_all())
+    return _normalize(np.array([r[vec_col] for r in rows],
+                               dtype=np.float64))
+
+
 def build_ivf(ds, *, n_centroids: int = 16, vec_col: str = "embedding",
               id_col: str = "vec_id", seed: int = 13):
     """Assign every vector a deterministic IVF bucket column.
 
-    Centroids = a seeded sample of the vectors themselves (stable
+    Centroids = a hash-seeded sample of the vectors themselves (stable
     across runs and partitionings); assignment is one matmul per batch.
     Returns (dataset-with-bucket-column, centroids ndarray).
     """
-    sample = ds.random_sample(
-        min(1.0, (n_centroids * 4) / max(1, ds.count())), seed=seed)
-    rows = sample.take(n_centroids)
-    cent = _normalize(np.array([r[vec_col] for r in rows],
-                               dtype=np.float64))
+    cent = centroid_sample(ds, n_centroids, vec_col=vec_col,
+                           id_col=id_col, seed=seed)
 
     def assign(batch: pa.Table) -> pa.Table:
         mat = _normalize(np.array(batch.column(vec_col).to_pylist(),
