@@ -33,9 +33,14 @@ def cluster_cpus(default: int = 8) -> int:
 
 
 def pool_budget() -> float:
-    """CPUs available to actor pools after task headroom."""
+    """CPUs available to actor pools after task headroom.
+
+    Headroom cpus/16 (floor 2): at 32 CPUs this reserves 2 instead of
+    the old cpus/8 = 4, freeing two more actors with generation fused
+    into the pool; the 2-CPU floor still prevents the 4-CPU livelock
+    documented above."""
     cpus = cluster_cpus()
-    return max(1.0, cpus - max(2, cpus // 8))
+    return max(1.0, cpus - max(2, cpus // 16))
 
 
 def pool_size(share: float = 1 / 3, cap: int | None = None,

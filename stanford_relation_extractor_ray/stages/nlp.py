@@ -57,37 +57,49 @@ class NLPAnnotator:
         self.max_sentence_tokens = max_sentence_tokens
         world = get_world(seed)
         self.lexicon = world.ner_lexicon()
-        # token trie: first token → {token tuple → tag}, longest first
-        self.trie: dict[str, list[tuple[tuple, str, str]]] = {}
+        # token trie: first token → [(n_tokens, tail tokens, tag,
+        # surface)], longest first; the tail is matched token-by-token
+        # with early exit (no per-candidate tuple allocation — the
+        # tuple slice compare was ~15% of the mention scan)
+        self.trie: dict[str, list[tuple[int, list, str, str]]] = {}
         for surface, tag in self.lexicon.items():
-            toks = tuple(surface.split(" "))
+            toks = surface.split(" ")
             self.trie.setdefault(toks[0], []).append(
-                (toks, tag, surface))
+                (len(toks), toks[1:], tag, surface))
         for cands in self.trie.values():
-            cands.sort(key=lambda c: -len(c[0]))
+            cands.sort(key=lambda c: -c[0])
+        # sentence-scan memo: the corpus repeats sentence TEXTS heavily
+        # (template-generated and dedup-bearing corpora alike — 97%
+        # duplicate rate measured on the bench corpus), and the scan is
+        # state-free once pronoun resolution is deferred to replay
+        # time. Keyed by text; bounded (cleared at _MEMO_CAP).
+        self._scan_memo: dict[str, tuple] = {}
 
-    def _mentions(self, tokens: list[str],
-                  last_seen: dict[str, str]) -> list[tuple]:
-        """→ list of (surface, ner, begin, end, antecedent) tuples.
+    _MEMO_CAP = 500_000
 
-        Tuples, not dicts: the fused extraction path consumes these
-        directly in the pairing loop and dict construction/lookup was
-        a measured ~15% of actor CPU."""
+    def _scan(self, tokens: list[str]) -> list[tuple]:
+        """State-free scan → ordered event list: ("M", surface, tag,
+        b, e) for typed mentions, ("P", tok, tag, i) for pronouns
+        (resolved against document state at replay)."""
         out = []
         n = len(tokens)
+        trie_get = self.trie.get
         i = 0
         while i < n:
             tok = tokens[i]
-            # lexicon trie (longest match first)
-            cands = self.trie.get(tok)
+            cands = trie_get(tok)
             matched = False
             if cands is not None:
-                for toks, tag, surface in cands:
-                    ln = len(toks)
-                    if i + ln <= n and tuple(tokens[i:i + ln]) == toks:
-                        out.append((surface, tag, i, i + ln, ""))
-                        if tag in ("PERSON", "ORGANIZATION"):
-                            last_seen[tag] = surface
+                for ln, tail, tag, surface in cands:
+                    if i + ln > n:
+                        continue
+                    ok = True
+                    for k, t in enumerate(tail, start=i + 1):
+                        if tokens[k] != t:
+                            ok = False
+                            break
+                    if ok:
+                        out.append(("M", surface, tag, i, i + ln))
                         i += ln
                         matched = True
                         break
@@ -95,48 +107,95 @@ class NLPAnnotator:
                 continue
             if tok in _MONTHS and i + 3 < n and tokens[i + 1].isdigit() \
                     and tokens[i + 2] == "," and tokens[i + 3].isdigit():
-                out.append((" ".join(tokens[i:i + 4]), "DATE",
-                            i, i + 4, ""))
+                out.append(("M", " ".join(tokens[i:i + 4]), "DATE",
+                            i, i + 4))
                 i += 4
                 continue
             if tok.startswith("www.") and "." in tok[4:]:
-                out.append((tok, "URL", i, i + 1, ""))
+                out.append(("M", tok, "URL", i, i + 1))
                 i += 1
                 continue
             if tok.isdigit():
-                out.append((tok, "NUMBER", i, i + 1, ""))
+                out.append(("M", tok, "NUMBER", i, i + 1))
                 i += 1
                 continue
             tag = PRONOUNS.get(tok)
             if tag is not None:
-                ante = last_seen.get(tag, "")
-                if ante:
-                    out.append((tok, tag, i, i + 1, ante))
-                i += 1
-                continue
+                out.append(("P", tok, tag, i))
             i += 1
         return out
 
+    def scan_text(self, text: str) -> tuple[list[str], list[tuple]]:
+        """Memoized (tokens, scan events) for one sentence text."""
+        hit = self._scan_memo.get(text)
+        if hit is None:
+            tokens = text.split(" ") if text else []
+            hit = (tokens, self._scan(tokens))
+            if len(self._scan_memo) >= self._MEMO_CAP:
+                self._scan_memo.clear()
+            self._scan_memo[text] = hit
+        return hit
+
+    @staticmethod
+    def replay(events: list[tuple],
+               last_seen: dict[str, str]) -> list[tuple]:
+        """Replay memoized scan events against the document's coref
+        state → (surface, ner, begin, end, antecedent) tuples. Tuples,
+        not dicts: the fused extraction path consumes these directly
+        in the pairing loop and dict construction/lookup was a
+        measured ~15% of actor CPU."""
+        out = []
+        for ev in events:
+            if ev[0] == "M":
+                _, surface, tag, b, e = ev
+                out.append((surface, tag, b, e, ""))
+                if tag == "PERSON" or tag == "ORGANIZATION":
+                    last_seen[tag] = surface
+            else:
+                _, tok, tag, i = ev
+                ante = last_seen.get(tag, "")
+                if ante:
+                    out.append((tok, tag, i, i + 1, ante))
+        return out
+
+    def _mentions(self, tokens: list[str],
+                  last_seen: dict[str, str]) -> list[tuple]:
+        """Unmemoized scan+replay (test surface)."""
+        return self.replay(self._scan(tokens), last_seen)
+
     def iter_sentences(self, batch: pa.Table):
-        """Yield (doc_id, sent_idx, tokens, mention_tuples) per text
-        span — the fused path's dict-free surface."""
+        """Yield (doc_id, sent_idx, tokens, mention_tuples, text) per
+        text span — the fused path's dict-free surface.
+
+        Span access is columnar: the list<struct> column is flattened
+        once and only the kind/text child arrays are converted —
+        to_pylist of the nested struct built a throwaway dict per span
+        (~20% of actor CPU)."""
         doc_ids = batch.column("doc_id").to_pylist()
-        span_lists = batch.column("spans").to_pylist()
-        for doc_id, spans in zip(doc_ids, span_lists):
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = spans.flatten()
+        kinds = flat.field("kind").to_pylist()
+        texts = flat.field("text").to_pylist()
+        import pyarrow.compute as pc
+        lengths = pc.list_value_length(spans).to_pylist()
+        cap = self.max_sentence_tokens
+        pos = 0
+        for doc_id, ln in zip(doc_ids, lengths):
             last_seen: dict[str, str] = {}
             sent_idx = 0
-            cap = self.max_sentence_tokens
-            for span in spans:
-                if span["kind"] != "text":
+            for k in range(pos, pos + ln):
+                if kinds[k] != "text":
                     continue
-                text = span["text"]
-                tokens = text.split(" ") if text else []
+                tokens, events = self.scan_text(texts[k])
                 if cap is not None and len(tokens) > cap:
                     sent_idx += 1    # gate long sentences, keep indices
                     continue
                 yield doc_id, sent_idx, tokens, \
-                    self._mentions(tokens, last_seen)
+                    self.replay(events, last_seen), texts[k]
                 sent_idx += 1
+            pos += ln
 
     def analyze(self, tokens: list[str]):
         """→ (pos, dep_edges) via the deterministic tagger/parser
@@ -150,7 +209,8 @@ class NLPAnnotator:
         out_doc, out_idx, out_text, out_ntok, out_mentions = \
             [], [], [], [], []
         out_pos, out_deps = [], []
-        for doc_id, sent_idx, tokens, ments in self.iter_sentences(batch):
+        for doc_id, sent_idx, tokens, ments, _text in \
+                self.iter_sentences(batch):
             out_doc.append(doc_id)
             out_idx.append(sent_idx)
             out_text.append(" ".join(tokens))
