@@ -124,6 +124,20 @@ def _q_kg_official_eval(sf_dir: str):
         "n_queries": len(out["queries"])}])
 
 
+def _q_kg_open_triples(sf_dir: str):
+    """ReVerb-style open IE over the corpus sentences (distinct
+    triples with support counts)."""
+    from stanford_relation_extractor_ray.corpus import documents_dataset
+    from stanford_relation_extractor_ray.stages import nlp, openie
+    from ray.data.aggregate import Count
+    n = 2000 if "0.01" in sf_dir else 200
+    sents = nlp.annotate(documents_dataset(n))
+    triples = openie.extract_open_triples(sents)
+    return (triples.groupby(["subj", "rel", "obj"])
+            .aggregate(Count(alias_name="n_support"))
+            .sort(["subj", "rel", "obj"]))
+
+
 def _media_items(sf_dir: str):
     from stanford_relation_extractor_ray.corpus import documents_dataset
     from stanford_relation_extractor_ray.stages import media
@@ -320,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_alternate_names": _q_kg_alternate_names,
         "kg_eval_score": _q_kg_eval,
         "kg_official_eval": _q_kg_official_eval,
+        "kg_open_triples": _q_kg_open_triples,
         # multimodal stages (stubbed codecs; rows-only check)
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
@@ -583,5 +598,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM read_csv('{_GOLDEN}/media_frames_sf0_01.csv',
                                    header=true)
             ORDER BY media_ref, frame_idx
+        """,
+        "kg_open_triples": f"""
+            SELECT * FROM read_csv(
+                '{_GOLDEN}/kg_open_triples_sf0_01.csv', header=true)
+            ORDER BY subj, rel, obj
         """,
     }

@@ -143,7 +143,8 @@ def read_query_entities(path: str) -> list[dict]:
 
 
 def write_official_output(fills, path: str, run_id: str = "ray1",
-                          all_relations: list[str] | None = None):
+                          all_relations: list[str] | None = None,
+                          list_strategy: str = "ALL", top_k: int = 3):
     """Consistent fills Dataset → official TAC slot-filling output.
 
     Lines ``subj \\t relation \\t run_id \\t doc_id \\t slot_value``
@@ -152,8 +153,25 @@ def write_official_output(fills, path: str, run_id: str = "ray1",
     official writer emits (``OfficialOutputWriter.java:134-150``). The
     sort happens on the (small, aggregated) fills table — never on the
     corpus.
+
+    ``list_strategy`` (``KBPEvaluator.java:94-98,218``): for
+    LIST-cardinality relations emit ALL fills, the single BEST by
+    score, or the TOP ``top_k`` by score (SINGLE relations are top-1
+    by construction after consistency).
     """
+    if list_strategy not in ("ALL", "BEST", "TOP"):
+        raise ValueError(f"unknown list strategy: {list_strategy}")
     rows = fills.sort(["subj", "pred", "obj"]).take_all()
+    if list_strategy != "ALL":
+        keep = 1 if list_strategy == "BEST" else top_k
+        by_key: dict[tuple, list[dict]] = {}
+        for r in rows:
+            by_key.setdefault((r["subj"], r["pred"]), []).append(r)
+        rows = []
+        for key in sorted(by_key):
+            grp = sorted(by_key[key],
+                         key=lambda r: (-r["score"], r["obj"]))[:keep]
+            rows.extend(sorted(grp, key=lambda r: r["obj"]))
     by_subj: dict[str, list[dict]] = {}
     for r in rows:
         by_subj.setdefault(r["subj"], []).append(r)

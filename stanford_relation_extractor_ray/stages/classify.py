@@ -418,6 +418,36 @@ def score_candidates(featurized, *, model_ref=None, concurrency=None,
         concurrency=concurrency)
 
 
+_PRIOR_SUM = {
+    etype: sum(r.prior for r in RELATIONS.values()
+               if r.entity_type == etype)
+    for etype in ("PERSON", "ORGANIZATION")}
+
+
+def apply_probability_priors(fills):
+    """Opt-in probability priors (``Props.TEST_PROBABILITYPRIORS``,
+    ``SimpleSlotFiller.java:210-213`` → ``Probabilities.java:41-71``):
+    score' = score · P(value|entity) / P(rel|entity) with
+    P(value|entity)=1 and P(rel|entity) = prior(rel)/Σ priors of the
+    entity type — i.e. divide by the normalized relation prior. The
+    reference does not clamp (it warns when the result leaves [0,1]);
+    we cap at 1.0 so downstream noisy-or stays a probability."""
+    def fn(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        preds = batch.column("pred").to_pylist()
+        subj_t = batch.column("subj_type").to_pylist()
+        score = batch.column("score").to_numpy(zero_copy_only=False)
+        factor = np.array([
+            _PRIOR_SUM.get(t, 1.0) / RELATIONS[p].prior
+            if p in RELATIONS else 1.0
+            for p, t in zip(preds, subj_t)])
+        new = np.minimum(1.0, score * factor)
+        i = batch.column_names.index("score")
+        return batch.set_column(i, "score",
+                                pa.array(new, pa.float64()))
+    return fills.map_batches(fn, batch_format="pyarrow")
+
+
 def _merge_fill_group(group: pa.Table) -> pa.Table:
     """Noisy-or merge of one triple's fills across partial batches."""
     scores = group.column("score").to_pylist()

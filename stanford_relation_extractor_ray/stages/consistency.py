@@ -42,36 +42,67 @@ def _value_dup(a: str, b: str, obj_type: str) -> bool:
     return False
 
 
+def _valid(r: dict) -> bool:
+    spec = RELATIONS.get(r["pred"])
+    if spec is None:
+        return False
+    if r["obj_type"] not in spec.slot_types \
+            or spec.entity_type != r["subj_type"]:
+        return False
+    return bool(r["obj"]) and r["obj"] != r["subj"]
+
+
+def _can_accept(r: dict, accepted: list[dict]) -> bool:
+    for a in accepted:
+        if a["pred"] == r["pred"]:
+            if r["pred"] in SINGLE_RELATIONS:
+                return False
+            if _value_dup(a["obj"], r["obj"], r["obj_type"]):
+                return False
+        elif a["obj"] == r["obj"] and frozenset(
+                (a["pred"], r["pred"])) in INCOMPATIBLE_RELATIONS:
+            return False
+    return True
+
+
 def _greedy(rows: list[dict]) -> list[dict]:
     """The per-entity greedy filterStep over row dicts (sorted here)."""
     rows.sort(key=lambda r: (-r["score"], -len(r["obj"].split()),
                              r["pred"], r["obj"]))
     accepted: list[dict] = []
     for r in rows:
-        spec = RELATIONS.get(r["pred"])
-        if spec is None:
-            continue
-        if r["obj_type"] not in spec.slot_types \
-                or spec.entity_type != r["subj_type"]:
-            continue
-        if not r["obj"] or r["obj"] == r["subj"]:
-            continue
-        ok = True
-        for a in accepted:
-            if a["pred"] == r["pred"]:
-                if r["pred"] in SINGLE_RELATIONS:
-                    ok = False
-                    break
-                if _value_dup(a["obj"], r["obj"], r["obj_type"]):
-                    ok = False
-                    break
-            elif a["obj"] == r["obj"] and frozenset(
-                    (a["pred"], r["pred"])) in INCOMPATIBLE_RELATIONS:
-                ok = False
-                break
-        if ok:
+        if _valid(r) and _can_accept(r, accepted):
             accepted.append(r)
     return accepted
+
+
+def gibbs_greedy(rows: list[dict], *, mixing_time: int = 10,
+                 seed: int = 42) -> list[dict]:
+    """Gibbs-restart consistency with the SUM objective
+    (``HeuristicSlotfillPostProcessor.java:145-204``): pass 1 is the
+    score-sorted greedy; then ``mixing_time`` seeded random-restart
+    greedy passes (``Random(42)`` shuffle of the enable order), keeping
+    the assignment maximizing Σ accepted scores. The default engine is
+    the plain greedy (the reference's GibbsObjective.TOP mode)."""
+    import random
+
+    base = _greedy(rows)             # rows is now comparator-sorted
+    valid = [r for r in rows if _valid(r)]
+    best, best_obj = base, sum(r["score"] for r in base)
+    rng = random.Random(seed)
+    order = list(range(len(valid)))
+    for _ in range(mixing_time):
+        rng.shuffle(order)
+        accepted: list[dict] = []
+        for i in order:
+            if _can_accept(valid[i], accepted):
+                accepted.append(valid[i])
+        obj = sum(r["score"] for r in accepted)
+        if obj > best_obj:
+            best, best_obj = accepted, obj
+    # stable output order: the comparator order
+    chosen = {id(r) for r in best}
+    return [r for r in rows if id(r) in chosen]
 
 
 def _rows_to_table(accepted: list[dict]) -> pa.Table:
