@@ -158,6 +158,12 @@ def write_official_output(fills, path: str, run_id: str = "ray1",
     LIST-cardinality relations emit ALL fills, the single BEST by
     score, or the TOP ``top_k`` by score (SINGLE relations are top-1
     by construction after consistency).
+
+    Scale bound: this sink (and ``write_predictions_tab``) collects
+    the fills table to the driver for the single official file — the
+    table is per-query-entity post-consistency output, bounded by
+    #queries × #relations × list size, NOT corpus-sized. Corpus-scale
+    outputs go through ``storage.write_table`` (partitioned Parquet).
     """
     if list_strategy not in ("ALL", "BEST", "TOP"):
         raise ValueError(f"unknown list strategy: {list_strategy}")

@@ -112,6 +112,15 @@ def canonical_map(fills) -> tuple[dict, dict]:
 
     Blocking groupby + pairwise linking distributed; union-find over the
     resulting (small) same-entity edge list on the driver.
+
+    Design bound (open-domain 100 TB): the distinct-surface table is
+    bounded by the ENTITY universe, not the corpus, but at open-domain
+    web scale it can reach billions of rows; then the driver union-find
+    must give way to iterative label propagation over the same
+    same-entity edge list (groupby(min-neighbor) until fixpoint — the
+    edge list and blocking stages here already produce exactly that
+    input). Gated on size below; the distributed blocking path is the
+    template for the propagation variant.
     """
     # The distinct-surfaces table is bounded by the entity universe,
     # not the corpus — usually small even at huge doc counts. One
