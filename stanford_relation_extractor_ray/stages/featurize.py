@@ -18,11 +18,13 @@ Two halves, split by what context they need:
   (``:400-413``), entity_counts_binary/bins (``:415-446``), and the
   dependency templates (stages/deps.py). Computed at PAIRING time
   (stages/mentions.py) where the sentence is in hand, carried on the
-  candidate row as ``ctx_features`` — the Ray-Data analog of the
-  reference featurizing straight off the RelationMention's sentence.
-- ``featurize_batch`` — templates derivable from the candidate row
-  alone (types, order, distances, span words), concatenated with
-  ``ctx_features``.
+  candidate row as ``ctx_features``.
+- row-local templates — registered per name in ``FEATURE_PROVIDERS``
+  (the reference's NEW featurizer shape: a ``Feature`` enum of
+  independent providers, ``kbp/slotfilling/process/Feature.java:30-56``
+  + ``FeatureProviders.java``; a user adds a template by registering a
+  provider, SURVEY.md §2.12). ``featurize_batch`` applies
+  ``ACTIVE_FEATURES`` in order and appends ``ctx_features``.
 
 Feature strings keep the reference's whitespace→``_`` post-processing
 (``FeatureFactory.java:133-137``) so a real template library drops into
@@ -31,10 +33,103 @@ the same column contract (``features: list<string>``).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import pyarrow as pa
 
 from ..schemas import FEATURIZED_SCHEMA
 from .deps import dep_features
+
+
+class Featurizable(NamedTuple):
+    """Row view handed to providers (``Featurizable.java`` analog)."""
+
+    subj_type: str
+    obj: str
+    obj_type: str
+    between: str
+    between_tokens: list[str]
+    subj_head: int        # last span token (head-final chunks)
+    obj_head: int
+    distance: int         # |subj_head - obj_head|
+
+
+# --- providers (each: Featurizable → list[str]) ------------------------
+
+def _p_legacy_conjunctions(f: Featurizable) -> list[str]:
+    """Pattern-component surface (types/order/dist/between)."""
+    order = "SO" if f.subj_head <= f.obj_head else "OS"
+    return [
+        f"types:{f.subj_type}:{f.obj_type}",
+        f"order:{order}",
+        f"dist:{min(len(f.between_tokens), 10)}",
+        f"between:{f.between}",
+        f"types_between:{f.subj_type}:{f.between}:{f.obj_type}",
+    ]
+
+
+def _p_arg_type(f: Featurizable) -> list[str]:
+    """FeatureFactory.java:169-171."""
+    return [f"arg1type={f.subj_type}_and_arg2type={f.obj_type}"]
+
+
+def _p_surface_distance_binary(f: Featurizable) -> list[str]:
+    return [f"surface_distance_{f.distance}"]
+
+
+def _p_surface_distance_bins(f: Featurizable) -> list[str]:
+    d = f.distance
+    if d < 4:
+        return [f"surface_distance_bin{d}"]
+    if d < 6:
+        return ["surface_distance_bin_lt6"]
+    if d < 10:
+        return ["surface_distance_bin_lt10"]
+    return ["surface_distance_bin_ge10"]
+
+
+def _p_arg_order(f: Featurizable) -> list[str]:
+    return ["arg1BeforeArg2"] if f.subj_head < f.obj_head else []
+
+
+def _p_arg_words(f: Featurizable) -> list[str]:
+    """doNotLexicalizeFirstArg=true — the KBP config (:349-355)."""
+    return [f"word_arg1:_{f.obj.rsplit(' ', 1)[-1]}"]
+
+
+def _p_span_words_unigrams(f: Featurizable) -> list[str]:
+    return [f"span_word:{t}" for t in f.between_tokens]
+
+
+def _p_span_words_bigrams(f: Featurizable) -> list[str]:
+    """FeatureFactory.java:505-510 (available, not in the active set)."""
+    t = f.between_tokens
+    return [f"span_bigram:{a}-{b}" for a, b in zip(t, t[1:])]
+
+
+FEATURE_PROVIDERS: dict[str, object] = {
+    "legacy_conjunctions": _p_legacy_conjunctions,
+    "arg_type": _p_arg_type,
+    "surface_distance_binary": _p_surface_distance_binary,
+    "surface_distance_bins": _p_surface_distance_bins,
+    "arg_order": _p_arg_order,
+    "arg_words": _p_arg_words,
+    "span_words_unigrams": _p_span_words_unigrams,
+    "span_words_bigrams": _p_span_words_bigrams,
+}
+
+#: the default template set, in emission order (matches the active
+#: relationFeatures list; changing it requires a trained-model cache
+#: version bump in pipelines/train.py)
+ACTIVE_FEATURES: tuple[str, ...] = (
+    "legacy_conjunctions", "arg_type", "surface_distance_binary",
+    "surface_distance_bins", "arg_order", "arg_words",
+    "span_words_unigrams")
+
+
+def register_feature(name: str, provider) -> None:
+    """Feature-enum extension point (``Feature.java:10-29``)."""
+    FEATURE_PROVIDERS[name] = provider
 
 
 def context_features(tokens: list[str], pos, edges,
@@ -81,7 +176,10 @@ def context_features(tokens: list[str], pos, edges,
     return feats
 
 
-def featurize_batch(batch: pa.Table) -> pa.Table:
+def featurize_batch(batch: pa.Table,
+                    features: tuple[str, ...] = ACTIVE_FEATURES
+                    ) -> pa.Table:
+    providers = [FEATURE_PROVIDERS[name] for name in features]
     subj_t = batch.column("subj_type").to_pylist()
     obj = batch.column("obj").to_pylist()
     obj_t = batch.column("obj_type").to_pylist()
@@ -96,38 +194,14 @@ def featurize_batch(batch: pa.Table) -> pa.Table:
     feats: list[list[str]] = []
     for st, o, ot, bw, s0, s1, o0, o1, cx in zip(
             subj_t, obj, obj_t, between, sb, se, ob, oe, ctx):
-        order = "SO" if s0 <= o0 else "OS"
-        bw_toks = bw.split(" ") if bw else []
-        # syntactic heads = last span token (head-final chunks)
-        dist = abs((s1 - 1) - (o1 - 1))
-        f = [
-            # legacy conjunctions kept for the pattern component
-            f"types:{st}:{ot}",
-            f"order:{order}",
-            f"dist:{min(len(bw_toks), 10)}",
-            f"between:{bw}",
-            f"types_between:{st}:{bw}:{ot}",
-            # arg_type (FeatureFactory.java:169-171)
-            f"arg1type={st}_and_arg2type={ot}",
-            # surface_distance_binary / _bins (:259-276)
-            f"surface_distance_{dist}",
-        ]
-        if dist < 4:
-            f.append(f"surface_distance_bin{dist}")
-        elif dist < 6:
-            f.append("surface_distance_bin_lt6")
-        elif dist < 10:
-            f.append("surface_distance_bin_lt10")
-        else:
-            f.append("surface_distance_bin_ge10")
-        # arg_order (:180-183)
-        if s1 - 1 < o1 - 1:
-            f.append("arg1BeforeArg2")
-        # arg_words with doNotLexicalizeFirstArg=true — the KBP config
-        # (:349-355; set at KBPProcess): only arg2's head word
-        f.append(f"word_arg1:_{o.rsplit(' ', 1)[-1]}")
-        # span_words_unigrams (:489-493)
-        f.extend(f"span_word:{t}" for t in bw_toks)
+        row = Featurizable(
+            subj_type=st, obj=o, obj_type=ot, between=bw,
+            between_tokens=bw.split(" ") if bw else [],
+            subj_head=s1 - 1, obj_head=o1 - 1,
+            distance=abs((s1 - 1) - (o1 - 1)))
+        f: list[str] = []
+        for p in providers:
+            f.extend(p(row))
         f.extend(cx)
         feats.append(f)
 
@@ -140,6 +214,10 @@ def featurize_batch(batch: pa.Table) -> pa.Table:
                            pa.array(feats, pa.list_(pa.string())))
 
 
-def featurize(candidates, *, batch_size: int = 4096):
-    return candidates.map_batches(featurize_batch, batch_format="pyarrow",
+def featurize(candidates, *, batch_size: int = 4096,
+              features: tuple[str, ...] = ACTIVE_FEATURES):
+    def fn(batch: pa.Table) -> pa.Table:
+        return featurize_batch(batch, features)
+
+    return candidates.map_batches(fn, batch_format="pyarrow",
                                   batch_size=batch_size)

@@ -103,6 +103,29 @@ def test_featurize_active_template_set():
     assert "order:SO" in feats and "between:was born in" in feats
 
 
+def test_feature_provider_registry():
+    """Feature-enum extension surface (Feature.java:10-29): register a
+    provider, select template sets per call."""
+    from stanford_relation_extractor_ray.stages.featurize import (
+        ACTIVE_FEATURES, FEATURE_PROVIDERS, register_feature)
+    t = pa.Table.from_pylist([_cand_row()], schema=CANDIDATES_SCHEMA)
+    try:
+        register_feature("shout", lambda f: [f"shout:{f.obj_type}"])
+        feats = featurize_batch(
+            t, features=("arg_type", "shout")).column(
+            "features").to_pylist()[0]
+        assert feats[:2] == ["arg1type=PERSON_and_arg2type=CITY",
+                             "shout:CITY"]
+    finally:
+        FEATURE_PROVIDERS.pop("shout", None)
+    # bigram provider available though not in the active set
+    assert "span_words_bigrams" in FEATURE_PROVIDERS
+    assert "span_words_bigrams" not in ACTIVE_FEATURES
+    bi = featurize_batch(t, features=("span_words_bigrams",)) \
+        .column("features").to_pylist()[0]
+    assert "span_bigram:was-born" in bi
+
+
 def test_sentences_table_carries_dep_edges(ray_session):
     """SENTENCES_SCHEMA contract (SURVEY.md §1.1): pos + dep_edges."""
     from stanford_relation_extractor_ray.corpus import documents_dataset
