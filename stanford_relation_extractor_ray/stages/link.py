@@ -130,6 +130,110 @@ def _cached_linker(aliases_ref, seed: int) -> EntityLinker:
     return linker
 
 
+def linking_features(surface: str, candidate: str,
+                     nicknames: dict) -> list[float]:
+    """Feature vector for a (surface, candidate-entity) pair — the
+    ``EntityLinkingFeaturizer`` analog (reference: 1,359 LoC of
+    features; this covers the families its trained linker weights most:
+    overlap score, acronym, edit distance, nickname, boundary-token
+    agreement, length difference)."""
+    from ..functions.text import approx_match_score, is_acronym_of, \
+        levenshtein
+    s_toks = surface.lower().split()
+    c_toks = candidate.lower().split()
+    overlap = approx_match_score(surface, candidate, nicknames)
+    acro = 1.0 if (is_acronym_of(surface, candidate)
+                   or is_acronym_of(candidate, surface)) else 0.0
+    dist = levenshtein(surface.lower(), candidate.lower())
+    nick = 1.0 if any(nicknames.get(a) == b or nicknames.get(b) == a
+                      for a in s_toks for b in c_toks) else 0.0
+    return [
+        overlap,
+        acro,
+        1.0 if dist <= 1 else 0.0,
+        min(dist, 10) / 10.0,
+        nick,
+        1.0 if s_toks and c_toks and s_toks[0] == c_toks[0] else 0.0,
+        1.0 if s_toks and c_toks and s_toks[-1] == c_toks[-1] else 0.0,
+        abs(len(s_toks) - len(c_toks)) / 5.0,
+    ]
+
+
+class TrainedLinker(EntityLinker):
+    """EntityLinker whose accept/reject decision is a trained binary
+    LR over ``linking_features`` instead of fixed per-type thresholds —
+    the ``TrainedEntityLinker`` analog (``kbp/entitylinking/
+    TrainedEntityLinker.java``). Training pairs come from the broadcast
+    alias table itself: (alias, canonical) positives vs (alias, other
+    same-type entity) negatives; deterministic seeded SGD in
+    ``__init__`` (once per actor)."""
+
+    def __init__(self, aliases_ref=None, seed: int = 42,
+                 keep_raw: bool = False, epochs: int = 20):
+        super().__init__(aliases_ref, seed, keep_raw)
+        import numpy as np
+        rng = np.random.default_rng(seed)
+        by_type: dict[str, list[str]] = {}
+        for canon, etype in self.types.items():
+            by_type.setdefault(etype, []).append(canon)
+        X, y = [], []
+        for (surface, etype), canon in sorted(self.exact.items()):
+            if surface == canon:
+                continue
+            X.append(linking_features(surface, canon, self.nicknames))
+            y.append(1.0)
+            others = [c for c in by_type.get(etype, ()) if c != canon]
+            if others:
+                neg = others[int(rng.integers(len(others)))]
+                X.append(linking_features(surface, neg, self.nicknames))
+                y.append(0.0)
+        Xm = np.array(X) if X else np.zeros((0, 8))
+        ym = np.array(y)
+        w = np.zeros(Xm.shape[1])
+        b = 0.0
+        lr = 0.5
+        for _ in range(epochs):
+            for i in rng.permutation(len(ym)):
+                p = 1.0 / (1.0 + np.exp(-np.clip(
+                    b + Xm[i] @ w, -30, 30)))
+                g = lr * (p - ym[i])
+                b -= g
+                w -= g * Xm[i]
+            lr *= 0.9
+        self._w, self._b = w, b
+
+    def _accept_prob(self, surface: str, cand: str) -> float:
+        import numpy as np
+        f = np.array(linking_features(surface, cand, self.nicknames))
+        return 1.0 / (1.0 + np.exp(-np.clip(
+            self._b + f @ self._w, -30, 30)))
+
+    def resolve(self, surface: str, etype: str) -> str:
+        hit = self.exact.get((surface, etype))
+        if hit is not None:
+            return hit
+        key = (surface, etype)
+        memo = self._memo.get(key)
+        if memo is not None:
+            return memo
+        cands: set[str] = set()
+        for tok in normalize_tokens(surface):
+            cands |= self.by_token.get(tok, set())
+            nick = self.nicknames.get(tok)
+            if nick:
+                cands |= self.by_token.get(nick, set())
+        best, best_p = surface, 0.5
+        for cand in sorted(cands):
+            if self.types.get(cand) != etype:
+                continue
+            p = self._accept_prob(surface, cand)
+            if p > best_p or (p == best_p and best != surface
+                              and cand < best):
+                best, best_p = cand, p
+        self._memo[key] = best
+        return best
+
+
 def link(ds, *, aliases_ref=None, seed: int = 42,
          concurrency=None, batch_size: int = 4096):
     """Link a candidates dataset (subjects) or a fills dataset

@@ -100,3 +100,26 @@ def test_ner_tweak_leaves_others():
                 ("Toronto", "CITY", 5, 6, "")]
     assert apply_ner_tweaks(toks, pos, mentions) == mentions
     assert len(DEFAULT_NER_TWEAKS) >= 3
+
+
+# --- trained entity linker --------------------------------------------
+
+def test_trained_linker_resolves_aliases():
+    from stanford_relation_extractor_ray.stages.link import (
+        EntityLinker, TrainedLinker)
+    tl = TrainedLinker()
+    base = EntityLinker()
+    # exact alias hits agree with the rule linker by construction
+    for (surface, etype), canon in sorted(base.exact.items())[:50]:
+        assert tl.resolve(surface, etype) == canon
+    # unknown surfaces either link to a plausible candidate or stay
+    # themselves — never to a different-type entity
+    for (surface, etype), canon in sorted(base.exact.items())[:20]:
+        got = tl.resolve(surface + "x", etype)
+        assert got == surface + "x" or base.types.get(got) == etype
+
+
+def test_trained_linker_deterministic():
+    from stanford_relation_extractor_ray.stages.link import TrainedLinker
+    a, b = TrainedLinker(), TrainedLinker()
+    assert (a._w == b._w).all() and a._b == b._b
