@@ -176,9 +176,17 @@ class EnsembleScorer:
     """Actor-pool batch transform: bags table → fills table."""
 
     def __init__(self, model_ref=None, mode: str = "any",
-                 with_top_employees: bool = False):
+                 with_top_employees: bool = False,
+                 extra_models=None):
+        """``extra_models``: additional component models with a
+        ``classify_bag(sent_features) → {relation: score}`` contract
+        (the classifier-zoo interface, pipelines/classifiers.py) —
+        the reference ensemble likewise holds all component
+        classifiers in one process
+        (``EnsembleRelationExtractor.java:265-278``)."""
         self.mode = mode
         self.with_top_employees = with_top_employees
+        self.extra_models = list(extra_models or [])
         self.lr: LRModel | None = None
         if model_ref is not None:
             import ray
@@ -254,6 +262,10 @@ class EnsembleScorer:
         if self.with_top_employees:
             components.append(self._top_employee_component(
                 subj_type, obj_type, sent_features))
+        for m in self.extra_models:
+            out = m.classify_bag(sent_features)
+            components.append(
+                {rel: (s, 0, s) for rel, s in out.items()})
         return ensemble_combine(components, self.mode)
 
     def __call__(self, batch: pa.Table) -> pa.Table:

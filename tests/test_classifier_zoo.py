@@ -133,3 +133,26 @@ def test_probability_priors_rescale(ray_session):
     # rarer relation (lower prior) is boosted MORE by the inversion
     assert s["per:religion"] > s["per:title"]
     assert all(0.0 <= v <= 1.0 for v in s.values())
+
+
+def test_zoo_models_as_ensemble_components():
+    """Any zoo model votes in the EnsembleScorer alongside the pattern
+    component (the all-models-in-one-actor reference shape)."""
+    from stanford_relation_extractor_ray.stages.classify import \
+        EnsembleScorer
+    percep = train_perceptron(_mk_bags())
+    scorer = EnsembleScorer(mode="any", extra_models=[percep])
+    import pyarrow as pa
+    from stanford_relation_extractor_ray.schemas import BAGS_SCHEMA
+    bag = pa.Table.from_pylist([{
+        "subj": "S", "subj_type": "PERSON", "obj": "O",
+        "obj_type": "CITY", "n_sentences": 1,
+        "sent_features": [["types:PERSON:CITY", "order:SO",
+                           "between:was born in", "bw:born"]],
+        "prov_doc_id": ["d0"], "prov_sent_idx": [0],
+        "prov_subj_begin": [0], "prov_subj_end": [2],
+        "prov_obj_begin": [5], "prov_obj_end": [6]}],
+        schema=BAGS_SCHEMA)
+    rows = {r["pred"]: r["score"] for r in scorer(bag).to_pylist()}
+    # pattern (0.95) and perceptron agree -> noisy-or pushes above 0.95
+    assert rows["per:city_of_birth"] > 0.95
