@@ -73,13 +73,21 @@ def main():
         def run(ncpu: int) -> dict:
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                        GRAFT_KG_DOCS=str(SCALING_DOCS))
+            # min-of-2 per level ("--repeat"): the sandbox hypervisor
+            # steals ±30-50% on single runs; the minimum is the
+            # standard wall-clock noise floor
+            args = [sys.executable, os.path.abspath(__file__),
+                    "--kg-only"]
+            if "--repeat" in sys.argv:
+                args.append("--repeat")
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--kg-only"],
-                env=env, capture_output=True, text=True, check=True,
+                args, env=env, capture_output=True, text=True,
+                check=True,
                 cwd=os.path.dirname(os.path.abspath(__file__))).stdout
             return json.loads(out.strip().splitlines()[-1])
 
-        lo, hi = 8, 32
+        lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+        hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
         r_lo, r_hi = run(lo), run(hi)
         t_lo, t_hi = r_lo["value"], r_hi["value"]
         eff = (t_lo / t_hi) / (hi / lo)

@@ -98,6 +98,8 @@ def build_pipeline(cfg: PipelineConfig):
         if cfg.probability_priors:
             from .stages.classify import apply_probability_priors
             fills = apply_probability_priors(fills)
-        return kg.finalize_fills(fills, seed=cfg.seed)
+        return kg.finalize_fills(
+            fills, seed=cfg.seed, objective=cfg.gibbs_objective,
+            mixing_time=cfg.gibbs_mixing_time)
 
     return run

@@ -66,19 +66,24 @@ def extract_fills(documents, *, seed: int = 42, aliases_ref=None,
 
 
 def finalize_fills(fills, *, seed: int = 42, aliases_ref=None,
-                   fused: bool = True):
+                   fused: bool = True, objective: str = "TOP",
+                   mixing_time: int = 10):
     """raw fills → consistent, object-linked fills (global stages).
 
     Default is the single-shuffle fused path
     (``consistency.combine_enforce``); ``fused=False`` runs the
     three-stage chain (combine → link → enforce) it is equivalent to.
+    ``objective`` selects the consistency engine (TOP greedy / SUM
+    Gibbs restarts).
     """
     if fused:
-        return consistency.combine_enforce(fills, aliases_ref=aliases_ref,
-                                           seed=seed)
+        return consistency.combine_enforce(
+            fills, aliases_ref=aliases_ref, seed=seed,
+            objective=objective, mixing_time=mixing_time)
     fills = classify.combine_fills(fills)
     fills = link.link(fills, aliases_ref=aliases_ref, seed=seed)
-    return consistency.enforce(fills)
+    return consistency.enforce(fills, objective=objective,
+                               mixing_time=mixing_time, seed=seed)
 
 
 def extract_alternate_names(documents, *, seed: int = 42,

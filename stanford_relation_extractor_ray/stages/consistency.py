@@ -122,7 +122,18 @@ def consistent_group(group: pa.Table) -> pa.Table:
     return _rows_to_table(_greedy(rows))
 
 
-def enforce(fills):
+def _engine(objective: str, mixing_time: int, seed: int):
+    """TOP (plain greedy) vs SUM (Gibbs restarts) per-entity engine."""
+    if objective == "TOP":
+        return _greedy
+    if objective == "SUM":
+        return lambda rows: gibbs_greedy(rows, mixing_time=mixing_time,
+                                         seed=seed)
+    raise ValueError(f"unknown Gibbs objective: {objective}")
+
+
+def enforce(fills, *, objective: str = "TOP", mixing_time: int = 10,
+            seed: int = 42):
     """fills Dataset → consistent fills Dataset.
 
     The greedy pass is per-entity, but one Ray group per entity pays
@@ -130,11 +141,14 @@ def enforce(fills):
     ``pid = hash(subj) % (4·CPUs)`` coarse partitions (every fill of an
     entity lands in one partition, which is the only property the
     greedy pass needs); each partition buckets by subject locally.
+    ``objective`` selects the per-entity engine (TOP = greedy, SUM =
+    seeded Gibbs restarts — test.consistency.gibbsobjective).
     """
     import pandas as pd
 
     from ..runtime import cluster_cpus
     n_parts = max(16, cluster_cpus() * 4)
+    engine = _engine(objective, mixing_time, seed)
 
     def add_pid(batch: pa.Table) -> pa.Table:
         s = batch.column("subj").to_pandas()
@@ -150,7 +164,7 @@ def enforce(fills):
             by_subj.setdefault(r["subj"], []).append(r)
         accepted: list[dict] = []
         for subj in sorted(by_subj):
-            accepted.extend(_greedy(by_subj[subj]))
+            accepted.extend(engine(by_subj[subj]))
         return _rows_to_table(accepted)
 
     return (fills.map_batches(add_pid, batch_format="pyarrow")
@@ -158,7 +172,8 @@ def enforce(fills):
             .map_groups(run_partition, batch_format="pyarrow"))
 
 
-def combine_enforce(partial_fills, *, aliases_ref=None, seed: int = 42):
+def combine_enforce(partial_fills, *, aliases_ref=None, seed: int = 42,
+                    objective: str = "TOP", mixing_time: int = 10):
     """Fused per-triple noisy-or combine + object entity-linking +
     per-entity greedy consistency in ONE shuffle.
 
@@ -179,6 +194,8 @@ def combine_enforce(partial_fills, *, aliases_ref=None, seed: int = 42):
     from .classify import local_combine_factory, merge_fills_df
     from .link import _cached_linker
 
+    engine = _engine(objective, mixing_time, seed)
+
     def run_partition(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
             return pd.DataFrame(columns=list(FILLS_SCHEMA.names))
@@ -195,7 +212,7 @@ def combine_enforce(partial_fills, *, aliases_ref=None, seed: int = 42):
         accepted: list[dict] = []
         for _subj, grp in merged.sort_values("subj").groupby(
                 "subj", sort=False):
-            accepted.extend(_greedy(grp.to_dict("records")))
+            accepted.extend(engine(grp.to_dict("records")))
         if not accepted:
             return pd.DataFrame(columns=list(FILLS_SCHEMA.names))
         return pd.DataFrame(accepted)[list(FILLS_SCHEMA.names)]

@@ -156,3 +156,23 @@ def test_zoo_models_as_ensemble_components():
     rows = {r["pred"]: r["score"] for r in scorer(bag).to_pylist()}
     # pattern (0.95) and perceptron agree -> noisy-or pushes above 0.95
     assert rows["per:city_of_birth"] > 0.95
+
+
+def test_gibbs_engine_wired_into_enforce(ray_session):
+    """objective='SUM' runs the Gibbs engine inside the distributed
+    consistency stage (test.consistency.gibbsobjective)."""
+    import ray.data as rd
+    from stanford_relation_extractor_ray.schemas import FILLS_SCHEMA
+    from stanford_relation_extractor_ray.stages.consistency import \
+        enforce
+    rows = [_fill("per:spouse", "Carol Ann Dee", 0.9),
+            _fill("per:siblings", "Carol Ann Dee", 0.7),
+            _fill("per:parents", "Carol Ann Dee", 0.7)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows, schema=FILLS_SCHEMA))
+    greedy = {r["pred"] for r in enforce(ds).take_all()}
+    assert greedy == {"per:spouse"}
+    ds2 = rd.from_arrow(pa.Table.from_pylist(rows, schema=FILLS_SCHEMA))
+    gibbs = {r["pred"]
+             for r in enforce(ds2, objective="SUM",
+                              mixing_time=20).take_all()}
+    assert gibbs == {"per:siblings", "per:parents"}

@@ -65,6 +65,7 @@ def test_lr_component_gated_and_combined():
     scorer.lr = model
     scorer.mode = "any"
     scorer.with_top_employees = False
+    scorer.extra_models = []
     out = scorer(_bag("Robert Smith", "PERSON", "Toronto", "CITY",
                       [feats("hails from")]))
     rows = out.to_pylist()
