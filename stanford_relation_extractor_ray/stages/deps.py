@@ -332,6 +332,181 @@ def path_string(parts: list[str]) -> str:
     return raw.replace(" ", "_")
 
 
+def generalize(label: str) -> str:
+    """High-level relation for the generalized path
+    (``FeatureFactory.generalizeRelation``): collapsed prep/conj lose
+    their word, subjects/objects collapse to subj/obj."""
+    if label.startswith("prep"):
+        return "prep"
+    if label.startswith("conj"):
+        return "conj"
+    if label.endswith("subj"):
+        return "subj"
+    if label.endswith("obj"):
+        return "obj"
+    return label
+
+
+ALL_DEP_TEMPLATES = (
+    "dependency_path", "dependency_path_lowlevel",
+    "dependency_path_length", "dependency_path_words",
+    "dependency_path_POS_unigrams", "dependency_path_word_n_grams",
+    "dependency_path_POS_n_grams", "dependency_path_edge_n_grams",
+    "dependency_path_edge_lowlevel_n_grams",
+    "dependency_path_node-edge-node-grams",
+    "dependency_path_node-edge-node-grams_lowlevel",
+    "dependency_path_edge-node-edge-grams",
+    "dependency_path_edge-node-edge-grams_lowlevel",
+    "dependency_path_directed_bigrams",
+    "dependency_path_edge_unigrams", "verb_in_dependency_path",
+    "dependency_paths_to_verb", "dependency_path_stubs_to_verb",
+    "full_tree_path")
+
+
+def dep_template_features(tokens: list[str], pos: list[str],
+                          edges: list[tuple[int, int, str]],
+                          subj_span: tuple[int, int],
+                          obj_span: tuple[int, int],
+                          templates=ALL_DEP_TEMPLATES) -> list[str]:
+    """The full dependency-template library of
+    ``FeatureFactory.addDependencyPathFeatures``
+    (``FeatureFactory.java:660-930`` — the 23 dep-path variants minus
+    the word-cluster ones, which need the Brown-cluster side file this
+    rebuild deliberately omits). ``dep_features`` below emits the
+    ACTIVE subset; this function serves any requested template set.
+    Path words are lemmatized with the deterministic stand-in lemma;
+    whitespace in emitted strings becomes ``_`` (postProcessFeature).
+    """
+    want = set(templates)
+    h0, h1 = subj_span[1] - 1, obj_span[1] - 1
+    nodes, parts = shortest_path(edges, len(tokens), h0, h1)
+    if not parts:
+        return []
+    feats: list[str] = []
+
+    def _clean(s: str) -> str:
+        return s.replace(" ", "_")
+
+    gen_parts = []
+    for p in parts:
+        if p.endswith("->"):
+            gen_parts.append(generalize(p[:-2]) + "->")
+        else:
+            gen_parts.append("<-" + generalize(p[2:]))
+    if "dependency_path" in want:
+        feats.append("dep_path:" + path_string(gen_parts))
+    if "dependency_path_lowlevel" in want:
+        feats.append("dep_path_lowlevel:" + path_string(parts))
+    if "dependency_path_length" in want:
+        feats.append(f"dependency_path_length_{len(parts)}")
+
+    # path node word/tag lists; arg-span nodes excluded where specified
+    in_arg = set(range(*subj_span)) | set(range(*obj_span))
+    path_lemmas = [lemma(tokens[i]) for i in nodes]
+    noarg = [i for i in nodes if i not in in_arg]
+    if "dependency_path_words" in want:
+        feats.extend("word_in_dependency_path:" + lemma(tokens[i])
+                     for i in noarg)
+    if "dependency_path_POS_unigrams" in want:
+        feats.extend("POS_in_dependency_path:_" + pos[i]
+                     for i in nodes[1:-1])
+    for n in (2, 3, 4):
+        if len(nodes) < n:
+            break
+        for k in range(len(nodes) - n + 1):
+            if "dependency_path_word_n_grams" in want:
+                feats.append(f"dependency_path_{n}-gram:_"
+                             + "_".join(path_lemmas[k:k + n]) + "_")
+            if "dependency_path_POS_n_grams" in want:
+                feats.append(f"dependency_path_POS_{n}-gram:_"
+                             + "_".join(pos[i]
+                                        for i in nodes[k:k + n]) + "_")
+    raw_labels = [p[:-2] if p.endswith("->") else p[2:] for p in parts]
+    gen_labels = [generalize(lb) for lb in raw_labels]
+    for n in (2, 3, 4):
+        if len(parts) < n:
+            break
+        for k in range(len(parts) - n + 1):
+            if "dependency_path_edge_n_grams" in want:
+                feats.append(_clean("dep_edge_" + str(n) + "-gram: "
+                                    + " -- ".join(gen_labels[k:k + n])))
+            if "dependency_path_edge_lowlevel_n_grams" in want:
+                feats.append(_clean("dep_edge_lowlevel_" + str(n)
+                                    + "-gram: "
+                                    + " -- ".join(raw_labels[k:k + n])))
+    for k in range(len(parts) - 1):
+        w = path_lemmas[k + 1]          # node between two edges
+        if "dependency_path_edge-node-edge-grams" in want:
+            feats.append(_clean(
+                f"ene: {gen_labels[k]} -- {w} -- {gen_labels[k + 1]}"))
+        if "dependency_path_edge-node-edge-grams_lowlevel" in want:
+            feats.append(_clean(
+                f"ene_lowlevel: {raw_labels[k]} -- {w} -- "
+                f"{raw_labels[k + 1]}"))
+    for k, p in enumerate(parts):
+        a, b = path_lemmas[k], path_lemmas[k + 1]
+        if "dependency_path_node-edge-node-grams" in want:
+            feats.append(_clean(f"nen: {a} -- {gen_labels[k]} -- {b}"))
+        if "dependency_path_node-edge-node-grams_lowlevel" in want:
+            feats.append(_clean(
+                f"nen_lowlevel: {a} -- {raw_labels[k]} -- {b}"))
+        if "dependency_path_directed_bigrams" in want:
+            arrow = "->" if p.endswith("->") else "<-"
+            feats.append(_clean(f"directed_bigram: {a} {arrow} {b}"))
+        if "dependency_path_edge_unigrams" in want:
+            where = ("left" if k == 0 else
+                     "right" if k == len(parts) - 1 else "interior")
+            arrow = "->" if p.endswith("->") else "<-"
+            feats.append(_clean(
+                f"dep_edge_unigram: {raw_labels[k]} {arrow} {where}"))
+
+    # verb-anchored families (:740-840): interior verbs on the path
+    interior_verbs = [i for i in nodes[1:-1]
+                      if pos[i].startswith("VB")]
+    for vi in interior_verbs:
+        vlem = lemma(tokens[vi])
+        k = nodes.index(vi)
+        left = parts[:k]                # arg0 → verb
+        right = parts[k:]               # verb → arg1
+        gen_left = path_string([generalize(p[:-2]) + "->"
+                                if p.endswith("->")
+                                else "<-" + generalize(p[2:])
+                                for p in left]) if left else "_"
+        gen_right = path_string([generalize(p[:-2]) + "->"
+                                 if p.endswith("->")
+                                 else "<-" + generalize(p[2:])
+                                 for p in right]) if right else "_"
+        if "dependency_paths_to_verb" in want:
+            feats.append(_clean(f"{gen_left} {vlem}"))
+            feats.append(_clean(f"{vlem} {gen_right}"))
+            feats.append(_clean(f"{gen_left} {vlem} {gen_right}"))
+        if "dependency_path_stubs_to_verb" in want and parts:
+            stub0 = gen_parts[0]
+            stub1 = gen_parts[-1]
+            feats.append(_clean(f"stub: {stub0} {vlem}"))
+            feats.append(_clean(f"stub: {vlem} {stub1}"))
+            feats.append(_clean(f"stub: {stub0} {vlem} {stub1}"))
+        if "verb_in_dependency_path" in want:
+            if left:
+                feats.append(_clean(
+                    f"verb: {gen_parts[len(left) - 1]} {vlem}"))
+            if right:
+                feats.append(_clean(f"verb: {vlem} {gen_parts[k]}"))
+            if left and right:
+                feats.append(_clean(
+                    f"verb: {gen_parts[len(left) - 1]} {vlem} "
+                    f"{gen_parts[k]}"))
+
+    if "full_tree_path" in want:
+        tree = [pos[nodes[0]]]
+        for part, idx in zip(parts, nodes[1:]):
+            arrow = "_->_" if part.endswith("->") else "_<-_"
+            tree.append(arrow)
+            tree.append(pos[idx])
+        feats.append("full_tree_path:" + "".join(tree))
+    return feats
+
+
 def dep_features(tokens: list[str], pos: list[str],
                  edges: list[tuple[int, int, str]],
                  subj_span: tuple[int, int],
@@ -351,20 +526,7 @@ def dep_features(tokens: list[str], pos: list[str],
     Args are located by their syntactic head = last token of the span
     (head-final chunks, matching ``getSyntacticHeadTokenPosition``).
     """
-    h0, h1 = subj_span[1] - 1, obj_span[1] - 1
-    nodes, parts = shortest_path(edges, len(tokens), h0, h1)
-    if not parts:
-        return []
-    feats = ["dep_path_lowlevel:" + path_string(parts)]
-    for idx in nodes[1:-1]:
-        if subj_span[0] <= idx < subj_span[1] \
-                or obj_span[0] <= idx < obj_span[1]:
-            continue
-        feats.append("word_in_dependency_path:" + lemma(tokens[idx]))
-    tree = [pos[nodes[0]]]
-    for part, idx in zip(parts, nodes[1:]):
-        arrow = "_->_" if part.endswith("->") else "_<-_"
-        tree.append(arrow)
-        tree.append(pos[idx])
-    feats.append("full_tree_path:" + "".join(tree))
-    return feats
+    return dep_template_features(
+        tokens, pos, edges, subj_span, obj_span,
+        templates=("dependency_path_lowlevel", "dependency_path_words",
+                   "full_tree_path"))

@@ -140,3 +140,55 @@ def test_sentences_table_carries_dep_edges(ray_session):
         assert 0 <= e["dep"] < s["n_tokens"]
         assert 0 <= e["head"] < s["n_tokens"]
         assert e["label"]
+
+
+def test_full_dep_template_library():
+    """All 19 dep-path template families emit (FeatureFactory
+    addDependencyPathFeatures parity, minus word-cluster files)."""
+    from stanford_relation_extractor_ray.stages.deps import (
+        ALL_DEP_TEMPLATES, dep_template_features, generalize)
+    toks, pos, edges = _edges(
+        "Jane Doe works for Acme Corp and resides in Canada")
+    feats = dep_template_features(toks, pos, edges, (0, 2), (9, 10))
+    # generalized vs lowlevel paths
+    assert "dep_path:_subj->__<-conj__<-prep_" in feats
+    assert "dep_path_lowlevel:_nsubj->__<-conj_and__<-prep_in_" in feats
+    assert "dependency_path_length_3" in feats
+    assert "word_in_dependency_path:work" in feats
+    assert "POS_in_dependency_path:_VBZ" in feats
+    # n-grams over path lemmas and POS
+    assert any(f.startswith("dependency_path_2-gram:_") for f in feats)
+    assert any(f.startswith("dependency_path_POS_3-gram:_")
+               for f in feats)
+    # edge n-grams generalized + lowlevel
+    assert "dep_edge_2-gram:_subj_--_conj" in feats
+    assert "dep_edge_lowlevel_2-gram:_nsubj_--_conj_and" in feats
+    # node/edge gram shapes
+    assert any(f.startswith("nen:_") for f in feats)
+    assert any(f.startswith("ene:_") for f in feats)
+    assert any(f.startswith("directed_bigram:_") for f in feats)
+    assert "dep_edge_unigram:_nsubj_->_left" in feats
+    # verb-anchored families ("works" and "resides" are interior verbs)
+    assert any(f.startswith("verb:_") for f in feats)
+    assert any(f.startswith("stub:_") for f in feats)
+    # every family name is selectable
+    for t in ALL_DEP_TEMPLATES:
+        assert isinstance(
+            dep_template_features(toks, pos, edges, (0, 2), (9, 10),
+                                  templates=(t,)), list)
+    assert generalize("prep_in") == "prep"
+    assert generalize("conj_and") == "conj"
+    assert generalize("nsubj") == "subj"
+    assert generalize("dobj") == "obj"
+
+
+def test_active_subset_unchanged():
+    """dep_features (the active set) emits exactly lowlevel + words +
+    tree, byte-identical to before the library refactor (trained
+    models stay valid)."""
+    toks, pos, edges = _edges("Robert Smith was born in Toronto")
+    feats = dep_features(toks, pos, edges, (0, 2), (5, 6))
+    assert feats == [
+        "dep_path_lowlevel:_nsubj->__<-prep_in_",
+        "word_in_dependency_path:born",
+        "full_tree_path:NNP_->_VBN_<-_NNP"]
