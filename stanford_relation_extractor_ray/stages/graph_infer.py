@@ -164,6 +164,158 @@ def intersect_fills(fills_a, fills_b):
             .select_columns(FILLS_SCHEMA.names))
 
 
+def prune_by_distance(fills, query_entities, max_dist: int = 4):
+    """Keep edges whose subject lies within graph distance ≤ max_dist
+    of a query entity — the reference's EntityGraph pruning
+    (``InferentialSlotFiller.java:55-200`` +
+    ``graph/GraphAlgorithms.java:13``).
+
+    Iterative frontier expansion: ``max_dist`` rounds of a distributed
+    edge scan against the broadcast frontier set (``ray.put`` per
+    round; the frontier is bounded by the ≤-max_dist neighborhood of
+    the query set, orders of magnitude smaller than the corpus — the
+    edge table itself never leaves the cluster)."""
+    import ray
+
+    reached = {str(q) for q in query_entities}
+    frontier = set(reached)
+    for _ in range(max_dist):
+        if not frontier:
+            break
+        ref = ray.put(frontier)
+
+        def neighbors(batch: pa.Table, _ref=ref) -> pa.Table:
+            fr = ray.get(_ref)
+            subj = batch.column("subj").to_pylist()
+            obj = batch.column("obj").to_pylist()
+            out = {o for s, o in zip(subj, obj) if s in fr} \
+                | {s for s, o in zip(subj, obj) if o in fr}
+            out = sorted(out)
+            return pa.table({"n": pa.array(out, pa.string())})
+
+        found = {r["n"] for r in
+                 fills.map_batches(neighbors,
+                                   batch_format="pyarrow").take_all()}
+        frontier = found - reached
+        reached |= found
+
+    keep_ref = ray.put(reached)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keep_ref)
+        mask = pa.array([s in ks
+                         for s in batch.column("subj").to_pylist()])
+        return batch.filter(mask)
+
+    return fills.map_batches(keep, batch_format="pyarrow")
+
+
+def mine_rules(fills, *, min_support: int = 2,
+               min_confidence: float = 0.3):
+    """Mine length-2 Horn rules (p, q ⇒ head) from the KG — the
+    ``MineInferentialPaths`` analog (path counting instead of the
+    path-trie): enumerate A-p→B-q→C bridge paths (the
+    ``transitive_infer`` join shape), co-locate them with the direct
+    A-head→C edges on a coarse (subj, obj) partition, and score each
+    (p, q, head) by support / #paths(p, q). Output:
+    (p, q, head, support, total, confidence), confidence-desc."""
+    import pandas as pd
+
+    from ..runtime import cluster_cpus
+    n_parts = max(16, cluster_cpus() * 4)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        """One row per edge per side (L bridges on obj, R on subj)."""
+        subj = batch.column("subj").to_pylist()
+        pred = batch.column("pred").to_pylist()
+        obj = batch.column("obj").to_pylist()
+        rows = {"subj": [], "pred": [], "obj": [], "side": [],
+                "bridge": []}
+        for s, p, o in zip(subj, pred, obj):
+            for side, key in (("L", o), ("R", s)):
+                rows["subj"].append(s)
+                rows["pred"].append(p)
+                rows["obj"].append(o)
+                rows["side"].append(side)
+                rows["bridge"].append(key)
+        t = pa.table({k: pa.array(v) for k, v in rows.items()})
+        pid = pd.util.hash_pandas_object(
+            pd.Series(rows["bridge"], dtype="object"),
+            index=False).to_numpy() % n_parts
+        return t.append_column(
+            "pid", pa.array(pid.astype("int32"), pa.int32()))
+
+    def paths(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["side"] == "L"]
+        right = df[df["side"] == "R"]
+        j = left.merge(right, left_on="bridge", right_on="bridge",
+                       suffixes=("_l", "_r"))
+        j = j[j["subj_l"] != j["obj_r"]]
+        out = j[["subj_l", "pred_l", "pred_r", "obj_r"]]
+        out.columns = ["subj", "p", "q", "obj"]
+        return out.drop_duplicates()
+
+    path_ds = (fills.map_batches(tag, batch_format="pyarrow")
+               .groupby("pid")
+               .map_groups(paths, batch_format="pandas"))
+
+    # co-locate paths with direct edges on (subj, obj)
+    def tag_pair(df: pd.DataFrame, kind: str) -> pd.DataFrame:
+        df = df.copy()
+        df["kind"] = kind
+        key = df["subj"].str.cat(df["obj"], sep="|")
+        df["ppid"] = (pd.util.hash_pandas_object(key, index=False)
+                      .to_numpy() % n_parts).astype("int32")
+        return df
+
+    edges_flat = fills.map_batches(
+        lambda b: tag_pair(
+            b.select(["subj", "pred", "obj"]).to_pandas()
+            .rename(columns={"pred": "p"}).assign(q=""),
+            "E"), batch_format="pyarrow")
+    paths_flat = path_ds.map_batches(
+        lambda df: tag_pair(df, "P"), batch_format="pandas")
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        heads: dict[tuple, list] = {}
+        for s, o, p in zip(*(df.loc[df["kind"] == "E", c]
+                             for c in ("subj", "obj", "p"))):
+            heads.setdefault((s, o), []).append(p)
+        rows = []
+        pdf = df[df["kind"] == "P"]
+        for s, o, p, q in zip(pdf["subj"], pdf["obj"], pdf["p"],
+                              pdf["q"]):
+            rows.append((p, q, "", 0, 1))     # one total per path
+            for h in heads.get((s, o), ()):   # supported heads
+                rows.append((p, q, h, 1, 0))
+        out = pd.DataFrame(rows, columns=["p", "q", "head",
+                                          "support", "total"])
+        # in-partition pre-aggregation: the driver sees one row per
+        # (p, q, head) per partition, not per path
+        return out.groupby(["p", "q", "head"], as_index=False).sum()
+
+    scored = (paths_flat.union(edges_flat)
+              .groupby("ppid")
+              .map_groups(score, batch_format="pandas"))
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        totals = df.groupby(["p", "q"])["total"].sum()
+        sup = df[df["head"] != ""].groupby(
+            ["p", "q", "head"])["support"].sum().reset_index()
+        sup["total"] = sup.set_index(["p", "q"]).index.map(totals) \
+            .astype("int64")
+        sup["confidence"] = sup["support"] / sup["total"]
+        sup = sup[(sup["support"] >= min_support)
+                  & (sup["confidence"] >= min_confidence)]
+        return sup.sort_values(["confidence", "support"],
+                               ascending=False, kind="mergesort")
+
+    rows = scored.take_all()
+    df = pd.DataFrame(rows) if rows else pd.DataFrame(
+        columns=["p", "q", "head", "support", "total"])
+    return combine(df)
+
+
 def transitive_infer(fills, rules=DEFAULT_RULES,
                      damping: float = RULE_DAMPING):
     """fills → inferred length-2-path edges (NOT unioned with input;

@@ -117,3 +117,58 @@ def test_intersect_fills_empty_side(ray_session):
     ])
     b = _fills_ds([])
     assert graph_infer.intersect_fills(a, b).take_all() == []
+
+
+def _edge(s, p, o, st="ORGANIZATION", ot="ORGANIZATION", score=0.9):
+    return {"subj": s, "subj_type": st, "pred": p, "obj": o,
+            "obj_type": ot, "score": score, "doc_id": "d0",
+            "sent_idx": 0, "subj_span": [0, 1], "obj_span": [2, 3]}
+
+
+def test_prune_by_distance(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+    from stanford_relation_extractor_ray.schemas import FILLS_SCHEMA
+    from stanford_relation_extractor_ray.stages.graph_infer import \
+        prune_by_distance
+    # chain Q -> A -> B -> C -> D -> E plus a disconnected X -> Y
+    chain = [_edge("Q", "org:parents", "A"),
+             _edge("A", "org:parents", "B"),
+             _edge("B", "org:parents", "C"),
+             _edge("C", "org:parents", "D"),
+             _edge("D", "org:parents", "E"),
+             _edge("X", "org:parents", "Y")]
+    ds = rd.from_arrow(pa.Table.from_pylist(chain, schema=FILLS_SCHEMA))
+    kept = {r["subj"] for r in
+            prune_by_distance(ds, ["Q"], max_dist=2).take_all()}
+    # subjects within distance 2 of Q: Q, A, B (C is at distance 3)
+    assert kept == {"Q", "A", "B"}
+    ds2 = rd.from_arrow(pa.Table.from_pylist(chain, schema=FILLS_SCHEMA))
+    kept4 = {r["subj"] for r in
+             prune_by_distance(ds2, ["Q"], max_dist=4).take_all()}
+    assert "X" not in kept4 and "D" in kept4
+
+
+def test_mine_rules(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+    from stanford_relation_extractor_ray.schemas import FILLS_SCHEMA
+    from stanford_relation_extractor_ray.stages.graph_infer import \
+        mine_rules
+    rows = []
+    # 3 supported instances of parents∘parents => parents
+    for i in range(3):
+        rows += [_edge(f"A{i}", "org:parents", f"B{i}"),
+                 _edge(f"B{i}", "org:parents", f"C{i}"),
+                 _edge(f"A{i}", "org:parents", f"C{i}")]
+    # 1 unsupported path of the same shape
+    rows += [_edge("A9", "org:parents", "B9"),
+             _edge("B9", "org:parents", "C9")]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows, schema=FILLS_SCHEMA))
+    mined = mine_rules(ds, min_support=2, min_confidence=0.3)
+    got = {(r.p, r.q, r.head): (r.support, r.total, round(r.confidence, 3))
+           for r in mined.itertuples()}
+    assert ("org:parents", "org:parents", "org:parents") in got
+    sup, total, conf = got[("org:parents", "org:parents",
+                            "org:parents")]
+    assert sup == 3 and total == 4 and conf == 0.75
