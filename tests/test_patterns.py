@@ -123,3 +123,24 @@ def test_trained_linker_deterministic():
     from stanford_relation_extractor_ray.stages.link import TrainedLinker
     a, b = TrainedLinker(), TrainedLinker()
     assert (a._w == b._w).all() and a._b == b._b
+
+
+def test_link_via_join_matches_broadcast_exact(ray_session):
+    """The sharded alias join resolves exact alias hits identically to
+    the broadcast linker; unknown surfaces pass through."""
+    import pyarrow as pa
+    import ray.data as rd
+    from stanford_relation_extractor_ray.stages.link import (
+        EntityLinker, alias_dataset, link_via_join)
+    base = EntityLinker()
+    items = sorted(base.exact.items())[:40]
+    rows = [{"subj": s, "subj_type": t, "x": i}
+            for i, ((s, t), _c) in enumerate(items)]
+    rows.append({"subj": "Nobody Anywhere", "subj_type": "PERSON",
+                 "x": 999})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = {r["x"]: r["subj"]
+           for r in link_via_join(ds, alias_dataset()).take_all()}
+    for i, ((s, t), canon) in enumerate(items):
+        assert out[i] == canon
+    assert out[999] == "Nobody Anywhere"
