@@ -185,10 +185,14 @@ def minhash_lsh_pairs(ds, *, text_col: str = "text",
         sh_col = []
         for t in texts:
             sh = shingles(t, k)
+            # 64-bit digest = two independent crc32 passes (forward +
+            # salted) — ~10× cheaper than a cryptographic hash and the
+            # digest stream is recomputed per join pass (streaming, no
+            # materialization), so per-shingle cost counts double
             arr = np.fromiter(
-                (int.from_bytes(hashlib.blake2b(
-                    s.encode(), digest_size=8).digest(), "big")
-                 for s in sh), dtype=np.uint64, count=len(sh))
+                ((zlib.crc32(b) << 32) | zlib.crc32(b + b"#")
+                 for b in (s.encode() for s in sh)),
+                dtype=np.uint64, count=len(sh))
             arr.sort()
             sh_col.append(arr)
         return pa.table({
