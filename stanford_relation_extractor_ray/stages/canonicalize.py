@@ -200,7 +200,8 @@ def canonical_map(fills) -> tuple[dict, dict]:
     cmap: dict[tuple, str] = {}
     for members in clusters.values():
         rep = max(members,
-                  key=lambda k: (weights.get(k, 0.0), len(k[0]),
+                  key=lambda k: (round(weights.get(k, 0.0), 9),
+                                 len(k[0]),
                                  [-ord(c) for c in k[0]]))
         for m in members:
             cmap[m] = rep[0]

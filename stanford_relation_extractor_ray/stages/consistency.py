@@ -65,10 +65,25 @@ def _can_accept(r: dict, accepted: list[dict]) -> bool:
     return True
 
 
+def _sort_key(r: dict):
+    """Partition-invariant comparator key (``KBPSlotFill.compareTo``,
+    ``kbp/common/KBPSlotFill.java:68-91``, made ulp-robust).
+
+    The noisy-or combine groups float products by batch boundaries, so
+    two near-dup fills can differ by an ulp depending on block layout
+    (round 2's one red driver cell). The score participates ROUNDED to
+    1e-9 so block-layout jitter cannot reorder ties, and the chain ends
+    in a fully deterministic tie-break on the raw pre-link object (the
+    two fills' canonical objects are equal by construction when they
+    compete) and the provenance ``(doc_id, sent_idx)``."""
+    return (-round(r["score"], 9), -len(r["obj"].split()),
+            r["pred"], r["obj"], r.get("raw_obj") or r["obj"],
+            r["doc_id"], r["sent_idx"])
+
+
 def _greedy(rows: list[dict]) -> list[dict]:
     """The per-entity greedy filterStep over row dicts (sorted here)."""
-    rows.sort(key=lambda r: (-r["score"], -len(r["obj"].split()),
-                             r["pred"], r["obj"]))
+    rows.sort(key=_sort_key)
     accepted: list[dict] = []
     for r in rows:
         if _valid(r) and _can_accept(r, accepted):
@@ -88,7 +103,9 @@ def gibbs_greedy(rows: list[dict], *, mixing_time: int = 10,
 
     base = _greedy(rows)             # rows is now comparator-sorted
     valid = [r for r in rows if _valid(r)]
-    best, best_obj = base, sum(r["score"] for r in base)
+    # objectives rounded to 1e-9: assignment choice must not flip on
+    # an ulp of the batch-grouped noisy-or product (see _sort_key)
+    best, best_obj = base, round(sum(r["score"] for r in base), 9)
     rng = random.Random(seed)
     order = list(range(len(valid)))
     for _ in range(mixing_time):
@@ -97,7 +114,7 @@ def gibbs_greedy(rows: list[dict], *, mixing_time: int = 10,
         for i in order:
             if _can_accept(valid[i], accepted):
                 accepted.append(valid[i])
-        obj = sum(r["score"] for r in accepted)
+        obj = round(sum(r["score"] for r in accepted), 9)
         if obj > best_obj:
             best, best_obj = accepted, obj
     # stable output order: the comparator order
@@ -201,6 +218,9 @@ def combine_enforce(partial_fills, *, aliases_ref=None, seed: int = 42,
             return pd.DataFrame(columns=list(FILLS_SCHEMA.names))
         merged = merge_fills_df(df, list(FILLS_SCHEMA.names))
         linker = _cached_linker(aliases_ref, seed)
+        # raw pre-link object: the greedy comparator's deterministic
+        # tie-break between fills whose objects link to one canonical
+        merged["raw_obj"] = merged["obj"]
         obj = merged["obj"].tolist()
         objt = merged["obj_type"].tolist()
         pred = merged["pred"].tolist()

@@ -102,9 +102,10 @@ def minhash_lsh_pairs(ds, *, text_col: str = "text",
     shares ≥1 band w.p. 1-(1-j^r)^bands — at the defaults (r=2, b=64)
     detection at j≥0.5 is ≈1-1e-8, so the verified output equals the
     exact-join oracle with overwhelming probability while only
-    comparing bucket-mates. Verification compares 64-bit blake2b
-    shingle digests, not texts — collision-free in practice and ~10×
-    smaller than text payloads in the verify shuffle.
+    comparing bucket-mates. Verification compares 64-bit siphash
+    shingle digests (``pd.util.hash_pandas_object``, fixed key), not
+    texts — collision-free in practice and ~10× smaller than text
+    payloads in the verify shuffle.
     """
     r = num_perm // bands
     a, b = _perm_params(num_perm, seed)
@@ -183,17 +184,22 @@ def minhash_lsh_pairs(ds, *, text_col: str = "text",
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
         sh_col = []
+        import pandas as pd
         for t in texts:
             sh = shingles(t, k)
-            # 64-bit digest = two independent crc32 passes (forward +
-            # salted) — ~10× cheaper than a cryptographic hash and the
-            # digest stream is recomputed per join pass (streaming, no
-            # materialization), so per-shingle cost counts double
-            arr = np.fromiter(
-                ((zlib.crc32(b) << 32) | zlib.crc32(b + b"#")
-                 for b in (s.encode() for s in sh)),
-                dtype=np.uint64, count=len(sh))
-            arr.sort()
+            # genuinely-64-bit digest (pandas siphash13, vectorized C,
+            # fixed key → process-stable). NOT a crc32 pair: crc32 is
+            # affine, so crc32(b+'#') is a fixed bijection of crc32(b)
+            # and the pair carries only 32 bits — birthday collisions
+            # from ~77k distinct shingles would inflate the "exact"
+            # Jaccard verify at corpus scale.
+            if sh:
+                arr = pd.util.hash_pandas_object(
+                    pd.Series(list(sh), dtype="object"),
+                    index=False).to_numpy().astype(np.uint64)
+                arr.sort()
+            else:
+                arr = np.empty(0, dtype=np.uint64)
             sh_col.append(arr)
         return pa.table({
             "jid": pa.array(ids, pa.int64()),

@@ -97,7 +97,11 @@ def _max_combine(fills):
         return df
 
     def best(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(TRIPLE_KEY + ["score", "doc_id", "sent_idx"],
+        # rounded score key: max-per-triple selection must not flip on
+        # batch-layout ulps of upstream float products (consistency.
+        # _sort_key has the full rationale)
+        df = df.assign(_sk=df["score"].round(9))
+        df = df.sort_values(TRIPLE_KEY + ["_sk", "doc_id", "sent_idx"],
                             ascending=[True] * len(TRIPLE_KEY)
                             + [False, True, True], kind="mergesort")
         return df.drop_duplicates(TRIPLE_KEY, keep="first")[
@@ -282,7 +286,13 @@ def mine_rules(fills, *, min_support: int = 2,
                              for c in ("subj", "obj", "p"))):
             heads.setdefault((s, o), []).append(p)
         rows = []
-        pdf = df[df["kind"] == "P"]
+        # paths() dedups only within its bridge-hashed partition: the
+        # same (subj,p,q,obj) path via bridges in different partitions
+        # survives. All copies converge HERE (ppid keys on subj|obj),
+        # so the global distinct lives in this partition — without it,
+        # support/total depend on n_parts, i.e. on cluster size.
+        pdf = df[df["kind"] == "P"].drop_duplicates(
+            ["subj", "p", "q", "obj"])
         for s, o, p, q in zip(pdf["subj"], pdf["obj"], pdf["p"],
                               pdf["q"]):
             rows.append((p, q, "", 0, 1))     # one total per path

@@ -113,6 +113,9 @@ class EntityLinker:
                 and not p.endswith("alternate_names") else o
                 for o, t, p in zip(obj, obj_t, pred)]
             cols["obj"] = pa.array(new_obj, pa.string())
+            # pre-link object: consumed by the consistency greedy as
+            # its deterministic tie-break (consistency._sort_key)
+            cols["raw_obj"] = pa.array(obj, pa.string())
         return pa.Table.from_arrays(list(cols.values()),
                                     names=list(cols.keys()))
 
@@ -194,8 +197,14 @@ def link_via_join(candidates, aliases, *, surface_col: str = "subj",
         surfs = group.column("__join_surface").to_pylist()
         typs = group.column("__join_type").to_pylist()
         canon = group.column("__canonical").to_pylist()
-        amap = {(s, t): c for s, t, c, sd in
-                zip(surfs, typs, canon, sides) if sd == "A"}
+        # deterministic on ambiguous surfaces (the norm at wikidict
+        # scale): smallest canonical wins, independent of the
+        # group-internal row order Ray does not guarantee
+        amap: dict[tuple, str] = {}
+        for s, t, c, sd in zip(surfs, typs, canon, sides):
+            if sd == "A" and (((s, t) not in amap)
+                              or c < amap[(s, t)]):
+                amap[(s, t)] = c
         mask = [sd == "C" for sd in sides]
         sub = group.filter(pa.array(mask))
         if sub.num_rows == 0:
