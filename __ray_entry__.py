@@ -100,7 +100,7 @@ def _q_kg_eval(sf_dir: str):
         score_fills
     n = 2000 if "0.01" in sf_dir else 200
     rows = _kg_fills(sf_dir).take_all()
-    s = score_fills(rows, gold_triple_set(n))
+    s = score_fills(rows, gold_triple_set(n, timex_dates=True))
     return pd.DataFrame([{
         "precision": round(s.precision, 6),
         "recall": round(s.recall, 6), "f1": round(s.f1, 6),

@@ -221,12 +221,25 @@ def gold_dataset(n_docs: int, seed: int = 42):
                           batch_format="numpy", batch_size=2048)
 
 
-def gold_triple_set(n_docs: int, seed: int = 42) -> set:
-    """Distinct gold (subj, pred, obj) triples, driver-side (small)."""
+def gold_triple_set(n_docs: int, seed: int = 42, *,
+                    timex_dates: bool = False) -> set:
+    """Distinct gold (subj, pred, obj) triples, driver-side (small).
+
+    ``timex_dates=True`` normalizes DATE slot values to timex form —
+    the comparison key when scoring the postprocessed pipeline (the
+    reference scorer compares timex-normalized values; the unary
+    rewrite chain is on by default in ``finalize_fills``)."""
+    from .vocab import RELATIONS
     world = get_world(seed)
     out = set()
     for did in range(n_docs):
         _, gold = doc_plan(did, world)
         for g in gold:
-            out.add((g["subj"], g["pred"], g["obj"]))
+            obj = g["obj"]
+            if timex_dates:
+                spec = RELATIONS.get(g["pred"])
+                if spec is not None and "DATE" in spec.slot_types:
+                    from .functions.text import timex_normalize
+                    obj = timex_normalize(obj) or obj
+            out.add((g["subj"], g["pred"], obj))
     return out

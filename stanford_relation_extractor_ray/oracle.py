@@ -19,6 +19,39 @@ from .world import World, get_world
 
 _PRONOUNS = {"He": "PERSON", "She": "PERSON", "It": "ORGANIZATION"}
 
+_MONTHS = {m: i + 1 for i, m in enumerate(
+    ("January", "February", "March", "April", "May", "June", "July",
+     "August", "September", "October", "November", "December"))}
+
+
+def _oracle_date_iso(value: str) -> str:
+    """Independent date → ISO re-derivation (the CanonicalMention
+    timex rewrite's contract, NOT its code): 'May 3 , 1970' →
+    '1970-05-03'. Unparseable values pass through."""
+    toks = value.split()
+    month = next((_MONTHS[t] for t in toks if t in _MONTHS), None)
+    year = next((t for t in toks
+                 if t.isdigit() and len(t) == 4 and t[0] in "12"), None)
+    day = next((int(t) for t in toks
+                if t.isdigit() and 1 <= int(t) <= 31), None)
+    if year is None:
+        return value
+    if month is None:
+        return f"{year}-XX-XX"
+    if day is None:
+        return f"{year}-{month:02d}-XX"
+    return f"{year}-{month:02d}-{day:02d}"
+
+
+def _oracle_url_related(name: str, url: str) -> bool:
+    """Independent FilterUnrelatedURL contract: the org name (spaces
+    stripped) must share a ≥4-char substring with the URL."""
+    name = name.lower().replace(" ", "")
+    url = url.lower()
+    need = min(4, len(name))
+    return any(name[i:i + need] in url
+               for i in range(len(name) - need + 1))
+
 
 class OracleExtractor:
     def __init__(self, seed: int = 42):
@@ -149,5 +182,26 @@ class OracleExtractor:
                         break
                 if ok:
                     accepted.append((cnt, s, st, rel, obj, ot))
-                    out.add((s, rel, obj))
+                    post = self._postprocess(s, rel, obj)
+                    if post is not None:
+                        out.add(post)
         return out
+
+    def _postprocess(self, subj: str, rel: str, obj: str):
+        """Independent re-derivation of the unary rewrite/filter
+        chain's effect on this corpus (``SlotfillPostProcessor.java:
+        83-141`` semantics, none of stages/postprocess.py's code):
+        DATE slots normalize to ISO, implausible ages drop, unrelated
+        org:website values drop."""
+        spec = RELATIONS.get(rel)
+        if spec is not None and "DATE" in spec.slot_types:
+            obj = _oracle_date_iso(obj)
+        if rel == "per:age":
+            try:
+                if not (0 < int(obj) <= 125):
+                    return None
+            except ValueError:
+                pass
+        if rel == "org:website" and not _oracle_url_related(subj, obj):
+            return None
+        return (subj, rel, obj)

@@ -65,9 +65,80 @@ def extract_fills(documents, *, seed: int = 42, aliases_ref=None,
                    model_ref=model_ref, concurrency=nlp_concurrency)
 
 
+def provenance_sentences(fills_mat, seed: int = 42):
+    """(doc_id, sent_idx, text) rows for exactly the provenance
+    documents of a (small, materialized) fills table.
+
+    The consistent-fills table is bounded by the entity universe, not
+    the corpus, so its distinct provenance doc-id set is tiny; those
+    documents are regenerated from the seeded corpus generator — NO
+    pass over (or shuffle of) the full corpus. This is the gloss
+    substrate for the unary rewrite chain and provenance recovery
+    (``SimpleSlotFiller.java:484-676`` restructured per SURVEY §7.4).
+    Returns None when no provenance doc id is recoverable (external
+    corpora should pass their own sentences dataset instead).
+    """
+    import re
+
+    import ray.data as rd
+
+    from ..corpus import _docs_batch
+
+    doc_ids = {r["doc_id"] for r in
+               fills_mat.select_columns(["doc_id"]).take_all()}
+    # only exact generator-format ids (d%09d): anything else (e.g. a
+    # virtual-IR TSV's own ids) must NOT be "recovered" from the
+    # generator — the join would attach a wrong document's gloss
+    ids = sorted(int(m.group(1)) for d in doc_ids
+                 if (m := re.fullmatch(r"d(\d{9})", d)))
+    if not ids:
+        return None
+
+    def to_docs(batch):
+        return _docs_batch(batch, seed)
+
+    docs = rd.from_items([{"id": i} for i in ids]) \
+        .map_batches(to_docs, batch_format="numpy", batch_size=2048)
+    return sentences_from_documents(docs)
+
+
+def sentences_from_documents(documents):
+    """documents → (doc_id, sent_idx, text) rows; sent_idx counts text
+    spans positionally (media spans skipped), matching
+    ``NLPAnnotator.iter_sentences``. No NLP — pure span splitting."""
+    def split(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        doc_col = batch.column("doc_id").to_pylist()
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = spans.flatten()
+        kinds = flat.field("kind").to_pylist()
+        texts = flat.field("text").to_pylist()
+        lengths = pc.list_value_length(spans).to_pylist()
+        out_d, out_s, out_t = [], [], []
+        pos = 0
+        for doc_id, ln in zip(doc_col, lengths):
+            sent_idx = 0
+            for k in range(pos, pos + ln):
+                if kinds[k] != "text":
+                    continue
+                out_d.append(doc_id)
+                out_s.append(sent_idx)
+                out_t.append(texts[k])
+                sent_idx += 1
+            pos += ln
+        return pa.table({"doc_id": pa.array(out_d, pa.string()),
+                         "sent_idx": pa.array(out_s, pa.int32()),
+                         "text": pa.array(out_t, pa.string())})
+
+    return documents.map_batches(split, batch_format="pyarrow")
+
+
 def finalize_fills(fills, *, seed: int = 42, aliases_ref=None,
                    fused: bool = True, objective: str = "TOP",
-                   mixing_time: int = 10):
+                   mixing_time: int = 10, postprocess: bool = True,
+                   sentences="auto", known: dict | None = None):
     """raw fills → consistent, object-linked fills (global stages).
 
     Default is the single-shuffle fused path
@@ -75,15 +146,42 @@ def finalize_fills(fills, *, seed: int = 42, aliases_ref=None,
     three-stage chain (combine → link → enforce) it is equivalent to.
     ``objective`` selects the consistency engine (TOP greedy / SUM
     Gibbs restarts).
+
+    ``postprocess=True`` (the default — the reference applies its
+    unary rewrite/filter chain to EVERY fill,
+    ``SlotfillPostProcessor.java:104-141``,
+    ``SimpleSlotFiller.java:293-313``) runs
+    ``stages.postprocess.apply_unary`` over the consistent fills with
+    sentence glosses attached. ``sentences`` is "auto" (regenerate the
+    tiny provenance-doc set from the seeded corpus —
+    ``provenance_sentences``), a (doc_id, sent_idx, text) Dataset, or
+    None (chain without glosses). ``known`` feeds the
+    FilterAlreadyKnownSlots anti-join. The official-eval pipeline
+    passes ``postprocess=False`` and applies the chain itself with
+    per-query ignored slots.
     """
     if fused:
-        return consistency.combine_enforce(
+        consistent = consistency.combine_enforce(
             fills, aliases_ref=aliases_ref, seed=seed,
             objective=objective, mixing_time=mixing_time)
-    fills = classify.combine_fills(fills)
-    fills = link.link(fills, aliases_ref=aliases_ref, seed=seed)
-    return consistency.enforce(fills, objective=objective,
-                               mixing_time=mixing_time, seed=seed)
+    else:
+        fills = classify.combine_fills(fills)
+        fills = link.link(fills, aliases_ref=aliases_ref, seed=seed)
+        consistent = consistency.enforce(
+            fills, objective=objective, mixing_time=mixing_time,
+            seed=seed)
+    if not postprocess:
+        return consistent
+    from ..stages import postprocess as pp
+
+    # consistent fills are tiny (entity-universe-bounded); materialize
+    # once so the extraction pool's reservation is released before the
+    # gloss join runs, and so the provenance doc-id set can be read
+    consistent = consistent.materialize()
+    if isinstance(sentences, str) and sentences == "auto":
+        sentences = provenance_sentences(consistent, seed)
+    return pp.apply_unary(consistent, sentences, known=known,
+                          with_geo=True)
 
 
 def extract_alternate_names(documents, *, seed: int = 42,

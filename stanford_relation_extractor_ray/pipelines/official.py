@@ -90,8 +90,11 @@ def official_eval(n_docs: int, *, seed: int = 42, queries=None,
     docs = documents_dataset(n_docs, seed)
     fills = kg.extract_fills(docs, seed=seed, aliases_ref=aliases_ref,
                              model_ref=model_ref)
+    # postprocess=False: this pipeline applies the unary chain itself
+    # below, with the query XML's per-entity ignored slots
     consistent = kg.finalize_fills(fills, seed=seed,
-                                   aliases_ref=aliases_ref)
+                                   aliases_ref=aliases_ref,
+                                   postprocess=False)
 
     # query filter: broadcast name set (queries are tiny)
     names = set(by_name)
@@ -115,17 +118,11 @@ def official_eval(n_docs: int, *, seed: int = 42, queries=None,
         with_geo=True)
 
     rows = processed.take_all()          # per-query fills: tiny table
-    # the rewrite chain normalizes dates to timex form; normalize the
-    # gold key the same way so equivalent values match (the reference
-    # scorer compares timex-normalized slot values)
-    from ..functions.text import timex_normalize
-    gold = set()
-    for s, p, o in gold_triple_set(n_docs):
-        if s not in names:
-            continue
-        if p in RELATIONS and "DATE" in RELATIONS[p].slot_types:
-            o = timex_normalize(o) or o
-        gold.add((s, p, o))
+    # the rewrite chain normalizes dates to timex form; compare
+    # against the same-normalized gold (reference scorer semantics)
+    gold = {(s, p, o)
+            for s, p, o in gold_triple_set(n_docs, timex_dates=True)
+            if s in names}
     thr = tune_thresholds(rows, gold, threshold_mode, fixed_threshold)
     kept = [r for r in rows
             if r["score"] >= thr.get(r["pred"], thr[None])]

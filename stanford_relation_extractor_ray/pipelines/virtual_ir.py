@@ -117,4 +117,8 @@ def fill_from_candidate_sentences(path: str, *, seed: int = 42,
     aliases_ref = link.build_alias_ref(seed)
     fills = kg.extract_fills(docs, seed=seed, aliases_ref=aliases_ref,
                              model_ref=model_ref)
-    return kg.finalize_fills(fills, seed=seed, aliases_ref=aliases_ref)
+    # glosses come from the TSV's own sentences, not the seeded
+    # corpus generator — these doc ids are foreign to it
+    return kg.finalize_fills(
+        fills, seed=seed, aliases_ref=aliases_ref,
+        sentences=kg.sentences_from_documents(docs))

@@ -329,7 +329,8 @@ def employee_filter(f: Fill, gloss_tokens, geo=None):
     if not gloss_tokens:
         return
     lo = min(f["subj_span"][1], f["obj_span"][1])
-    hi = max(f["subj_span"][0], f["obj_span"][0])
+    hi = min(max(f["subj_span"][0], f["obj_span"][0]),
+             len(gloss_tokens))      # spans may outrun a foreign gloss
     for i in range(lo, hi):
         if gloss_tokens[i].lower() in ("said", "told", "called",
                                        "quoted"):

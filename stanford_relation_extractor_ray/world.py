@@ -179,6 +179,11 @@ class World:
             self.facts[ent.canonical] = facts
 
     def _pick_value(self, rng, ent, rel_name, obj_type):
+        if rel_name == "per:age":
+            # plausible human ages — the generic NUMBER pool (18..99k)
+            # planted gold ages the reference's SanityCheckFilter
+            # (age ≤ 125) correctly rejects
+            return str(rng.randrange(18, 100))
         if obj_type in ("PERSON", "ORGANIZATION"):
             pool = self.persons if obj_type == "PERSON" else self.orgs
             if rel_name == "per:schools_attended":
