@@ -94,7 +94,14 @@ def doc_plan(doc_id: int, world: World):
         prefix = rng.choice(PREFIXES)
 
         if kind == "coref":
-            subj_surface = _pronoun(anchor)
+            # pronoun OR a doc-coref-able short reference (unique
+            # last name / non-alias acronym) — exercising the
+            # PostIRAnnotator-style document-level coref slice
+            short = world.short_refs.get(anchor.canonical)
+            if short is not None and rng.random() < 0.5:
+                subj_surface = short
+            else:
+                subj_surface = _pronoun(anchor)
         else:
             use_alias = anchor.aliases and rng.random() < 0.2 \
                 and not rel_name.endswith("alternate_names")

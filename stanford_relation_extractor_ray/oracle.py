@@ -106,21 +106,70 @@ class OracleExtractor:
         spans.sort()
         return spans
 
+    def _doc_name_stats(self, sentences: list[str]):
+        """Independent doc-level name inventory: (first→names,
+        last→names, acronym→org surfaces) over full typed mentions."""
+        first: dict[str, set] = {}
+        last: dict[str, set] = {}
+        acro: dict[str, set] = {}
+        for sent in sentences:
+            for _a, _b, surf, tag in self._sentence_mentions(sent):
+                if tag == "PERSON" and " " in surf:
+                    toks = surf.split(" ")
+                    first.setdefault(toks[0], set()).add(surf)
+                    last.setdefault(toks[-1], set()).add(surf)
+                elif tag == "ORGANIZATION":
+                    toks = [t for t in surf.split(" ") if t.lower()
+                            not in ("of", "the", "and", "for")]
+                    if len(toks) >= 3:
+                        acro.setdefault(
+                            "".join(t[0].upper() for t in toks),
+                            set()).add(surf)
+        return first, last, acro
+
     def extract_doc(self, doc_id: int):
         spans, _ = doc_plan(doc_id, self.world)
         triples = []
         last = {}
-        for span in spans:
-            if span["kind"] != "text":
-                continue
-            sent = span["text"]
+        sent_texts = [s["text"] for s in spans if s["kind"] == "text"]
+        nstats = self._doc_name_stats(sent_texts)
+        for sent in sent_texts:
             ments = self._sentence_mentions(sent)
+            claimed = [False] * len(sent)
+            for a, b, _s, _t in ments:
+                for i in range(a, b):
+                    claimed[i] = True
             resolved = []
-            for a, b, surf, tag in ments:
+            short_refs = []      # (a, b, full, tag) partial/acronym
+            for m in re.finditer(r"[A-Za-z]{2,}", sent):
+                a, b = m.span()
+                if any(claimed[a:b]) or not m.group(0)[0].isupper():
+                    continue
+                tok = m.group(0)
+                fc, lc, ac = (nstats[0].get(tok), nstats[1].get(tok),
+                              nstats[2].get(tok))
+                if fc is not None and len(fc) == 1:
+                    short_refs.append((a, b, next(iter(fc)), "PERSON"))
+                elif lc is not None and len(lc) == 1:
+                    short_refs.append((a, b, next(iter(lc)), "PERSON"))
+                elif tok.isupper() and len(tok) >= 3 \
+                        and ac is not None and len(ac) == 1:
+                    short_refs.append(
+                        (a, b, next(iter(ac)), "ORGANIZATION"))
+            events = sorted(
+                [(a, b, surf, tag, False) for a, b, surf, tag in ments]
+                + [(a, b, full, tag, True)
+                   for a, b, full, tag in short_refs
+                   if full != sent[a:b]])
+            for a, b, surf, tag, is_short in events:
                 if tag.startswith("PRON:"):
                     t = tag[5:]
                     if t in last:
                         resolved.append((a, b, last[t], t, True))
+                    continue
+                if is_short:
+                    resolved.append((a, b, surf, tag, True))
+                    last[tag] = surf
                     continue
                 resolved.append((a, b, surf, tag, False))
                 if tag in ("PERSON", "ORGANIZATION"):

@@ -122,8 +122,41 @@ class NLPAnnotator:
             tag = PRONOUNS.get(tok)
             if tag is not None:
                 out.append(("P", tok, tag, i))
+            elif len(tok) >= 2 and tok.isalpha() and tok[0].isupper():
+                # unmatched capitalized token: a doc-level coref
+                # candidate (partial name / acronym), resolved against
+                # the document's mention inventory at replay time
+                out.append(("U", tok, i))
             i += 1
         return out
+
+    @staticmethod
+    def doc_stats(events_list) -> tuple[dict, dict, dict]:
+        """Document-level mention inventory for approximate/acronym
+        coref (``PostIRAnnotator.java:940-1038`` annotateLiteralCoref
+        + ``:1103-1118`` partialNameMatchesEntity): first-name →
+        {full person surfaces}, last-name → {full person surfaces},
+        acronym → {org surfaces} over every typed mention in the
+        document."""
+        from ..world import acronym_of
+        first: dict[str, set] = {}
+        last: dict[str, set] = {}
+        acro: dict[str, set] = {}
+        for events in events_list:
+            for ev in events:
+                if ev[0] != "M":
+                    continue
+                _, surface, tag, _b, _e = ev
+                if tag == "PERSON":
+                    toks = surface.split(" ")
+                    if len(toks) >= 2:
+                        first.setdefault(toks[0], set()).add(surface)
+                        last.setdefault(toks[-1], set()).add(surface)
+                elif tag == "ORGANIZATION":
+                    ac = acronym_of(surface)
+                    if ac is not None:
+                        acro.setdefault(ac, set()).add(surface)
+        return first, last, acro
 
     def scan_text(self, text: str) -> tuple[list[str], list[tuple]]:
         """Memoized (tokens, scan events) for one sentence text."""
@@ -137,31 +170,57 @@ class NLPAnnotator:
         return hit
 
     @staticmethod
-    def replay(events: list[tuple],
-               last_seen: dict[str, str]) -> list[tuple]:
+    def replay(events: list[tuple], last_seen: dict[str, str],
+               stats: tuple | None = None) -> list[tuple]:
         """Replay memoized scan events against the document's coref
         state → (surface, ner, begin, end, antecedent) tuples. Tuples,
         not dicts: the fused extraction path consumes these directly
         in the pairing loop and dict construction/lookup was a
-        measured ~15% of actor CPU."""
+        measured ~15% of actor CPU.
+
+        ``stats`` (``doc_stats``) enables the document-level
+        approximate/acronym coref slice: an unmatched capitalized
+        token resolves to a full mention iff exactly ONE document
+        mention could take it as a first name, last name, or acronym
+        (the reference's iff-unambiguous-in-article rule). Resolved
+        short references carry the full surface as antecedent, like
+        pronouns — subject-capable, never a slot value."""
         out = []
         for ev in events:
-            if ev[0] == "M":
+            kind = ev[0]
+            if kind == "M":
                 _, surface, tag, b, e = ev
                 out.append((surface, tag, b, e, ""))
                 if tag == "PERSON" or tag == "ORGANIZATION":
                     last_seen[tag] = surface
-            else:
+            elif kind == "P":
                 _, tok, tag, i = ev
                 ante = last_seen.get(tag, "")
                 if ante:
                     out.append((tok, tag, i, i + 1, ante))
+            elif stats is not None:
+                _, tok, i = ev
+                first, last, acro = stats
+                full = tag = None
+                fc = first.get(tok)
+                lc = last.get(tok)
+                if fc is not None and len(fc) == 1:
+                    full, tag = next(iter(fc)), "PERSON"
+                elif lc is not None and len(lc) == 1:
+                    full, tag = next(iter(lc)), "PERSON"
+                elif len(tok) >= 3 and tok.isupper():
+                    oc = acro.get(tok)
+                    if oc is not None and len(oc) == 1:
+                        full, tag = next(iter(oc)), "ORGANIZATION"
+                if full is not None and full != tok:
+                    out.append((tok, tag, i, i + 1, full))
+                    last_seen[tag] = full
         return out
 
-    def _mentions(self, tokens: list[str],
-                  last_seen: dict[str, str]) -> list[tuple]:
+    def _mentions(self, tokens: list[str], last_seen: dict[str, str],
+                  stats: tuple | None = None) -> list[tuple]:
         """Unmemoized scan+replay (test surface)."""
-        return self.replay(self._scan(tokens), last_seen)
+        return self.replay(self._scan(tokens), last_seen, stats)
 
     def iter_sentences(self, batch: pa.Table):
         """Yield (doc_id, sent_idx, tokens, mention_tuples, text) per
@@ -183,8 +242,12 @@ class NLPAnnotator:
         cap = self.max_sentence_tokens
         pos = 0
         for doc_id, ln in zip(doc_ids, lengths):
-            last_seen: dict[str, str] = {}
+            # pass 1: scan (memoized) every sentence; build the
+            # doc-level mention inventory only if an unresolved
+            # capitalized token exists anywhere in the document
+            doc_sents: list[tuple] = []
             sent_idx = 0
+            has_u = False
             for k in range(pos, pos + ln):
                 if kinds[k] != "text":
                     continue
@@ -192,9 +255,17 @@ class NLPAnnotator:
                 if cap is not None and len(tokens) > cap:
                     sent_idx += 1    # gate long sentences, keep indices
                     continue
-                yield doc_id, sent_idx, tokens, \
-                    self.replay(events, last_seen), texts[k]
+                if not has_u:
+                    has_u = any(ev[0] == "U" for ev in events)
+                doc_sents.append((sent_idx, tokens, events, texts[k]))
                 sent_idx += 1
+            stats = self.doc_stats([s[2] for s in doc_sents]) \
+                if has_u else None
+            # pass 2: replay in order against doc coref state
+            last_seen: dict[str, str] = {}
+            for sent_idx, tokens, events, text in doc_sents:
+                yield doc_id, sent_idx, tokens, \
+                    self.replay(events, last_seen, stats), text
             pos += ln
 
     def analyze(self, tokens: list[str]):

@@ -83,6 +83,24 @@ NOISE_SENTENCES = [
 ]
 
 
+# stopwords skipped when deriving an acronym (PostIRAnnotator.java:
+# 1002-1010 skips dictionary stopwords when matching acronym chars)
+ACRONYM_STOPWORDS = frozenset({"of", "the", "and", "for"})
+
+
+def acronym_of(surface: str) -> str | None:
+    """Stopword-skipping initialism of a ≥3-content-token surface
+    ("Westbrook Institute of Technology" → "WIT"); None when too short
+    (the reference requires ≥3 entity tokens and a ≥3-char acronym,
+    ``PostIRAnnotator.java:999``)."""
+    toks = [t for t in surface.split() if t.lower() not in
+            ACRONYM_STOPWORDS]
+    if len(toks) < 3:
+        return None
+    ac = "".join(t[0].upper() for t in toks if t)
+    return ac if len(ac) >= 3 else None
+
+
 @dataclass
 class Entity:
     canonical: str
@@ -177,6 +195,39 @@ class World:
                             else "org:alternate_names")
                 facts.append((rel_name, al, ent.type))
             self.facts[ent.canonical] = facts
+
+        # doc-coref-able short references (the surfaces
+        # PostIRAnnotator-style document coref can recover): a
+        # world-unique person last name, or a world-unique stopword-
+        # skipping acronym of an org whose acronym is NOT already an
+        # alias (i.e. not in the NER lexicon — schools here). The
+        # corpus generator only plants these, so every planted short
+        # reference is resolvable by doc-level uniqueness.
+        lex = self.ner_lexicon()
+        last_counts: dict[str, int] = {}
+        for p in self.persons:
+            ln = p.canonical.split()[-1]
+            last_counts[ln] = last_counts.get(ln, 0) + 1
+        self.short_refs: dict[str, str] = {}
+        for p in self.persons:
+            ln = p.canonical.split()[-1]
+            if last_counts[ln] == 1 and ln not in lex \
+                    and ln not in FIRST_NAMES:
+                self.short_refs[p.canonical] = ln
+        acro_counts: dict[str, int] = {}
+        canon_acro: dict[str, str] = {}
+        for o in self.orgs:
+            for s in [o.canonical] + o.aliases:
+                ac = acronym_of(s)
+                if ac is not None:
+                    acro_counts[ac] = acro_counts.get(ac, 0) + 1
+                    if s == o.canonical:
+                        canon_acro[o.canonical] = ac
+        for o in self.orgs:
+            ac = canon_acro.get(o.canonical)
+            if ac is not None and acro_counts[ac] == 1 \
+                    and ac not in lex:
+                self.short_refs[o.canonical] = ac
 
     def _pick_value(self, rng, ent, rel_name, obj_type):
         if rel_name == "per:age":

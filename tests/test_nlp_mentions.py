@@ -90,3 +90,68 @@ def test_pronoun_not_a_slot():
     # pronoun resolved as subject, never as object
     assert ("Robert Smith", "Julie Laurent") in pairs
     assert all(c["obj"] not in ("He", "She", "It") for c in cands)
+
+
+# ---- document-level coref beyond pronouns (PostIRAnnotator.java
+# hack catalogue :40-57 — approximate names matched iff no other
+# entity in the article could take them; acronym expansion) ----------
+
+def test_doc_coref_unique_last_name():
+    ann = NLPAnnotator()
+    sents = ann(_table([_doc("d1", [
+        "Priya Petrov works for Acme Dynamics Corporation .",
+        "Petrov is married to Samuel Okafor .",
+    ])]))
+    cands = pair_mentions(sents).to_pylist()
+    pairs = {(c["subj"], c["obj"]) for c in cands}
+    assert ("Priya Petrov", "Samuel Okafor") in pairs
+
+
+def test_doc_coref_ambiguous_last_name_refuses():
+    ann = NLPAnnotator()
+    sents = ann(_table([_doc("d1", [
+        "Robert Smith met with Oliver Smith .",
+        "Smith is married to Julie Laurent .",
+    ])]))
+    rows = sents.to_pylist()
+    ments = rows[1]["mentions"]
+    # two Smiths in the article: the bare surname must NOT resolve
+    assert all(m["surface"] != "Smith" for m in ments)
+
+
+def test_doc_coref_acronym_expansion():
+    ann = NLPAnnotator()
+    sents = ann(_table([_doc("d1", [
+        "Samuel Okafor attended Westbrook Institute of Technology .",
+        "WIT was founded by Julie Laurent .",
+    ])]))
+    cands = pair_mentions(sents).to_pylist()
+    pairs = {(c["subj"], c["obj"]) for c in cands}
+    assert ("Westbrook Institute of Technology", "Julie Laurent") \
+        in pairs
+
+
+def test_doc_coref_forward_reference():
+    # the inventory is document-level: a short reference BEFORE the
+    # full mention still resolves (the reference matches against
+    # article-level stats, not a running prefix)
+    ann = NLPAnnotator()
+    sents = ann(_table([_doc("d1", [
+        "Petrov spoke at length about Toronto .",
+        "Priya Petrov works for Acme Dynamics Corporation .",
+    ])]))
+    ments = sents.to_pylist()[0]["mentions"]
+    assert any(m["surface"] == "Petrov"
+               and m["antecedent"] == "Priya Petrov" for m in ments)
+
+
+def test_doc_coref_short_ref_not_a_slot():
+    ann = NLPAnnotator()
+    sents = ann(_table([_doc("d1", [
+        "Priya Petrov works for Acme Dynamics Corporation .",
+        "Julie Laurent met with Petrov .",
+    ])]))
+    cands = pair_mentions(sents).to_pylist()
+    # like pronouns, recovered short references are subject-capable
+    # but never slot values
+    assert all(c["obj"] != "Petrov" for c in cands)
