@@ -138,7 +138,8 @@ def sentences_from_documents(documents):
 def finalize_fills(fills, *, seed: int = 42, aliases_ref=None,
                    fused: bool = True, objective: str = "TOP",
                    mixing_time: int = 10, postprocess: bool = True,
-                   sentences="auto", known: dict | None = None):
+                   sentences="auto", known: dict | None = None,
+                   repair: bool = False):
     """raw fills → consistent, object-linked fills (global stages).
 
     Default is the single-shuffle fused path
@@ -180,8 +181,18 @@ def finalize_fills(fills, *, seed: int = 42, aliases_ref=None,
     consistent = consistent.materialize()
     if isinstance(sentences, str) and sentences == "auto":
         sentences = provenance_sentences(consistent, seed)
-    return pp.apply_unary(consistent, sentences, known=known,
-                          with_geo=True)
+    out = pp.apply_unary(consistent, sentences, known=known,
+                         with_geo=True)
+    if repair and sentences is not None:
+        # opt-in provenance-recovery pass (weak provenance → best
+        # supporting sentence within the supplied sentences dataset)
+        import ray
+
+        from ..world import get_world
+        alias_rows = ray.get(aliases_ref) if aliases_ref is not None \
+            else get_world(seed).alias_table()
+        out = pp.repair_provenance(out, sentences, aliases=alias_rows)
+    return out
 
 
 def extract_alternate_names(documents, *, seed: int = 42,

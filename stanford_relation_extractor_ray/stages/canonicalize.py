@@ -107,29 +107,138 @@ def _pairs_in_partition(group: pa.Table) -> pa.Table:
                      "type": pa.array(out_t, pa.string())})
 
 
+def propagate_components(pairs, *, max_iter: int = 50) -> list[dict]:
+    """Distributed connected components over the same-entity edge list
+    by iterative min-label (hash-to-min) propagation — the successor to
+    driver union-find above the surface gate (SURVEY.md §7.2 step 7;
+    the clusters are entity-name variant sets, so the graph diameter is
+    tiny and the loop converges in a handful of rounds).
+
+    Each round is ONE coarse-pid tagged-union shuffle: edges and the
+    current label table co-partition on the node key, each partition
+    emits min-label messages across its edges, and a per-node min
+    reduce (same shuffle) produces the next label table plus a changed
+    count. Edges are routed by BOTH endpoints so every edge sees both
+    labels without a second pass. Returns the final (node → root)
+    assignment rows (``a``/``b`` name|type keys → ``root``) — bounded
+    by 2·|pairs|, the same driver bound union-find had.
+    """
+    import pandas as pd
+
+    from ..runtime import cluster_cpus
+    n_parts = max(16, cluster_cpus() * 4)
+
+    def _pid(keys: pd.Series) -> pd.Series:
+        return (pd.util.hash_pandas_object(keys, index=False)
+                % n_parts).astype("int32")
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_pylist()
+        b = batch.column("b").to_pylist()
+        t = batch.column("type").to_pylist()
+        ka = [f"{x}|{y}" for x, y in zip(a, t)]
+        kb = [f"{x}|{y}" for x, y in zip(b, t)]
+        return pa.table({"ka": pa.array(ka + kb, pa.string()),
+                         "kb": pa.array(kb + ka, pa.string())})
+
+    # both-direction edges, deduped per coarse partition; stays
+    # materialized across rounds
+    edges = pairs.map_batches(to_edges,
+                              batch_format="pyarrow").materialize()
+
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"node": df["ka"].unique()})
+        out["label"] = out["node"]
+        return out
+
+    def dedupe_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates("node")
+
+    labels = (edges.map_batches(init_labels, batch_format="pandas")
+              .map_batches(lambda df: df.assign(pid=_pid(df["node"])),
+                           batch_format="pandas")
+              .groupby("pid")
+              .map_groups(dedupe_nodes, batch_format="pandas")
+              .select_columns(["node", "label"])
+              .materialize())
+
+    for _ in range(max_iter):
+        def tag_label(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "node": df["node"], "peer": "", "label": df["label"],
+                "side": "L", "pid": _pid(df["node"])})
+
+        def tag_edge(df: pd.DataFrame) -> pd.DataFrame:
+            # routed by ka: this partition holds label[ka]; the
+            # reverse direction row handles label[kb]'s side
+            return pd.DataFrame({
+                "node": df["ka"], "peer": df["kb"], "label": "",
+                "side": "E", "pid": _pid(df["ka"])})
+
+        def send(df: pd.DataFrame) -> pd.DataFrame:
+            """partition: label lookup for its nodes; each edge (ka →
+            kb) sends label[ka] to kb; nodes keep their own label."""
+            lmap = dict(zip(df.loc[df["side"] == "L", "node"],
+                            df.loc[df["side"] == "L", "label"]))
+            e = df[df["side"] == "E"]
+            msgs = pd.DataFrame({
+                "node": e["peer"],
+                "cand": e["node"].map(lmap).fillna(e["node"]),
+                "own": ""})
+            own = df[df["side"] == "L"]
+            keep = pd.DataFrame({"node": own["node"],
+                                 "cand": own["label"],
+                                 "own": own["label"]})
+            return pd.concat([msgs, keep], ignore_index=True)
+
+        def reduce_min(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("node", sort=True)
+            new = g["cand"].min()
+            old = g["own"].max()          # "" sorts below any label
+            out = pd.DataFrame({"node": new.index, "label": new.values,
+                                "changed": (new.values != old.values)
+                                .astype("int64")})
+            return out
+
+        nxt = (labels.map_batches(tag_label, batch_format="pandas")
+               .union(edges.map_batches(tag_edge,
+                                        batch_format="pandas"))
+               .groupby("pid")
+               .map_groups(send, batch_format="pandas")
+               .map_batches(lambda df: df.assign(pid=_pid(df["node"])),
+                            batch_format="pandas")
+               .groupby("pid")
+               .map_groups(reduce_min, batch_format="pandas")
+               .materialize())
+        changed = nxt.sum("changed")
+        labels = nxt.select_columns(["node", "label"]).materialize()
+        if not changed:
+            break
+
+    return labels.take_all()
+
+
+# surfaces-table size below which blocking + pairwise linking +
+# union-find all run driver-side in one process (saves fixed ~1 s Ray
+# execution latency ×3 on tiny data); above it both the blocking AND
+# the component computation run distributed (label propagation)
+SMALL_SURFACES = 100_000
+
+
 def canonical_map(fills) -> tuple[dict, dict]:
     """→ (canonical_map {(name,type) → representative}, weights).
 
-    Blocking groupby + pairwise linking distributed; union-find over the
-    resulting (small) same-entity edge list on the driver.
-
-    Design bound (open-domain 100 TB): the distinct-surface table is
-    bounded by the ENTITY universe, not the corpus, but at open-domain
-    web scale it can reach billions of rows; then the driver union-find
-    must give way to iterative label propagation over the same
-    same-entity edge list (groupby(min-neighbor) until fixpoint — the
-    edge list and blocking stages here already produce exactly that
-    input). Gated on size below; the distributed blocking path is the
-    template for the propagation variant.
+    Below the ``SMALL_SURFACES`` gate: driver-side blocking + pairwise
+    linking + union-find (one process, no executions beyond the
+    surface scan). Above it (open-domain web scale — the
+    distinct-surface table is entity-universe-bounded but can reach
+    billions of rows): distributed blocking groupby + pairwise linking
+    per block partition + iterative min-label propagation
+    (``propagate_components``) — the same-entity edge list never lands
+    on the driver; only the cluster-member → root assignment does.
+    Both paths produce identical clusters (pinned by
+    tests/test_canonicalize_scale.py).
     """
-    # The distinct-surfaces table is bounded by the entity universe,
-    # not the corpus — usually small even at huge doc counts. One
-    # distributed pre-aggregated scan produces it; if it is small
-    # (< SMALL_SURFACES rows) the blocking + pairwise linking runs
-    # driver-side in the same process (saves two whole Ray executions
-    # of fixed ~1 s latency each on tiny data); above the threshold
-    # the identical logic runs as a distributed blocking groupby.
-    SMALL_SURFACES = 100_000
     surface_rows = _surface_table(fills).take_all()
     weights = {(r["name"], r["type"]): r["weight"]
                for r in surface_rows}
@@ -179,7 +288,26 @@ def canonical_map(fills) -> tuple[dict, dict]:
                  .map_batches(explode_blocks, batch_format="pyarrow")
                  .groupby("pid").map_groups(_pairs_in_partition,
                                             batch_format="pyarrow"))
-        pair_rows = pairs.take_all()        # same-entity edges: tiny
+        # distributed min-label propagation instead of driver
+        # union-find: the pairs never land on the driver, only the
+        # (cluster-member-bounded) final node→root assignment does
+        comp_rows = propagate_components(pairs)
+        root_of: dict[tuple, tuple] = {}
+        for r in comp_rows:
+            name, typ = r["node"].rsplit("|", 1)
+            root_of[(name, typ)] = (r["label"].rsplit("|", 1)[0], typ)
+        clusters: dict[tuple, list[tuple]] = {}
+        for key in weights:
+            clusters.setdefault(root_of.get(key, key), []).append(key)
+        cmap: dict[tuple, str] = {}
+        for members in clusters.values():
+            rep = max(members,
+                      key=lambda k: (round(weights.get(k, 0.0), 9),
+                                     len(k[0]),
+                                     [-ord(c) for c in k[0]]))
+            for m in members:
+                cmap[m] = rep[0]
+        return cmap, weights
 
     parent: dict[tuple, tuple] = {}
 

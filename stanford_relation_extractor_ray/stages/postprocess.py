@@ -501,6 +501,113 @@ def attach_gloss(fills, sentences):
             .map_groups(join, batch_format="pyarrow"))
 
 
+def repair_provenance(fills, sentences, *, aliases=None):
+    """Provenance-recovery pass (``SimpleSlotFiller.java:484-676``
+    restructured per SURVEY §7.4: the reference re-queries the index
+    and re-classifies up to 25 candidate sentences, then falls back to
+    the shortest sentence mentioning entity and value; here one gloss
+    join + one streaming corpus scan replace the per-fill query loop).
+
+    1. ``attach_gloss`` marks WEAK fills — provenance sentence missing,
+       or not containing both a subject surface and the slot value.
+    2. The weak set is tiny (⊆ the entity-universe-bounded fills
+       table): its (subject surfaces, value) probes broadcast via
+       ``ray.put``; ONE streaming pass over the sentences emits
+       per-batch best supporting hits (no quadratic join).
+    3. Per-fill global best — the reference's fallback rule: shortest
+       supporting sentence, ties by (doc_id, sent_idx) — patches the
+       fill's provenance. Fills with no supporting sentence keep their
+       original provenance (the reference emits them unrepaired too).
+
+    ``aliases``: optional iterable of (surface, canonical, score) rows
+    (the broadcast alias table) so a canonicalized subject matches its
+    surface forms in text.
+    """
+    import ray
+
+    glossed = attach_gloss(fills, sentences).materialize()
+
+    rev_alias: dict[str, list[str]] = {}
+    if aliases is not None:
+        for surface, canonical, _s in aliases:
+            rev_alias.setdefault(canonical, []).append(surface)
+
+    def surfaces_of(subj: str) -> list[str]:
+        return [subj] + rev_alias.get(subj, [])
+
+    def is_weak(row: dict) -> bool:
+        gloss = row.get("gloss") or ""
+        if not gloss:
+            return True
+        return not (any(s in gloss for s in surfaces_of(row["subj"]))
+                    and row["obj"] in gloss)
+
+    weak = [r for r in glossed.take_all() if is_weak(r)]
+    out = glossed.drop_columns(["gloss"])
+    if not weak:
+        return out
+
+    probes = {}        # key -> (subject surfaces, value)
+    for r in weak:
+        key = (r["subj"], r["pred"], r["obj"])
+        probes[key] = (surfaces_of(r["subj"]), r["obj"])
+    probes_ref = ray.put(probes)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        pr = ray.get(probes_ref)
+        docs = batch.column("doc_id").to_pylist()
+        sents = batch.column("sent_idx").to_pylist()
+        texts = batch.column("text").to_pylist()
+        best: dict[tuple, tuple] = {}     # per-batch partial min
+        for d, si, tx in zip(docs, sents, texts):
+            for key, (subj_surfs, obj) in pr.items():
+                if obj in tx and any(s in tx for s in subj_surfs):
+                    cand = (len(tx), d, si)
+                    if key not in best or cand < best[key]:
+                        best[key] = cand
+        ks = list(best)
+        return pa.table({
+            "subj": pa.array([k[0] for k in ks], pa.string()),
+            "pred": pa.array([k[1] for k in ks], pa.string()),
+            "obj": pa.array([k[2] for k in ks], pa.string()),
+            "slen": pa.array([best[k][0] for k in ks], pa.int64()),
+            "doc_id": pa.array([best[k][1] for k in ks], pa.string()),
+            "sent_idx": pa.array([best[k][2] for k in ks],
+                                 pa.int32())})
+
+    # global best per fill: ≤ |weak| rows after the per-batch min —
+    # driver-side reduce over a tiny table
+    repaired: dict[tuple, tuple] = {}
+    for r in sentences.map_batches(scan,
+                                   batch_format="pyarrow").take_all():
+        key = (r["subj"], r["pred"], r["obj"])
+        cand = (r["slen"], r["doc_id"], r["sent_idx"])
+        if key not in repaired or cand < repaired[key]:
+            repaired[key] = cand
+    if not repaired:
+        return out
+    repaired_ref = ray.put(repaired)
+
+    def patch(batch: pa.Table) -> pa.Table:
+        rep = ray.get(repaired_ref)
+        subj = batch.column("subj").to_pylist()
+        pred = batch.column("pred").to_pylist()
+        obj = batch.column("obj").to_pylist()
+        docs = batch.column("doc_id").to_pylist()
+        sents = batch.column("sent_idx").to_pylist()
+        for i, key in enumerate(zip(subj, pred, obj)):
+            hit = rep.get(key)
+            if hit is not None:
+                docs[i] = hit[1]
+                sents[i] = hit[2]
+        t = batch.set_column(batch.column_names.index("doc_id"),
+                             "doc_id", pa.array(docs, pa.string()))
+        return t.set_column(t.column_names.index("sent_idx"),
+                            "sent_idx", pa.array(sents, pa.int32()))
+
+    return out.map_batches(patch, batch_format="pyarrow")
+
+
 def apply_unary(fills, sentences=None, *, known: dict | None = None,
                 ignored: dict | None = None, with_geo: bool = False):
     """The pipeline stage: optional gloss attach, then the per-row

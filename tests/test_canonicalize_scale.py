@@ -1,0 +1,66 @@
+"""Label-propagation canonicalization (the above-gate scale path)
+equals driver union-find, and converges on multi-hop chains."""
+
+import pyarrow as pa
+import pytest
+
+from stanford_relation_extractor_ray.schemas import FILLS_SCHEMA
+from stanford_relation_extractor_ray.stages import canonicalize as C
+
+
+def _fill(subj, subj_type="PERSON", obj="Toronto", obj_type="CITY",
+          score=0.9):
+    return {"subj": subj, "subj_type": subj_type,
+            "pred": "per:cities_of_residence" if subj_type == "PERSON"
+            else "org:city_of_headquarters",
+            "obj": obj, "obj_type": obj_type, "score": score,
+            "doc_id": "d0", "sent_idx": 0,
+            "subj_span": [0, 2], "obj_span": [5, 6]}
+
+
+@pytest.fixture()
+def variant_fills(ray_session):
+    import ray.data as rd
+    rows = [
+        # 3-surface variant cluster sharing the "acme" block (nickname
+        # and acronym variants are the LINKER's job upstream; the
+        # canonicalize stage merges shared-token residual variants)
+        _fill("Acme Dynamics Corporation", "ORGANIZATION", score=0.8),
+        _fill("Acme Dynamics", "ORGANIZATION", score=0.3),
+        _fill("Acme Dynamics Corp", "ORGANIZATION", score=0.5),
+        _fill("Julie Laurent", score=0.7),         # singleton
+    ]
+    return rd.from_arrow(
+        pa.Table.from_pylist(rows, schema=FILLS_SCHEMA)).materialize()
+
+
+def test_propagation_equals_union_find(ray_session, variant_fills,
+                                       monkeypatch):
+    cmap_uf, w_uf = C.canonical_map(variant_fills)
+    # non-trivial cluster actually formed, rep = highest weight
+    assert cmap_uf[("Acme Dynamics", "ORGANIZATION")] == \
+        "Acme Dynamics Corporation"
+    assert cmap_uf[("Acme Dynamics Corp", "ORGANIZATION")] == \
+        "Acme Dynamics Corporation"
+    monkeypatch.setattr(C, "SMALL_SURFACES", 0)    # force scale path
+    cmap_lp, w_lp = C.canonical_map(variant_fills)
+    assert cmap_lp == cmap_uf
+    assert w_lp == w_uf
+
+
+def test_propagate_components_multi_hop(ray_session):
+    """A 4-node chain needs >1 propagation round; all nodes must end
+    on one root."""
+    import ray.data as rd
+    pairs = rd.from_items([
+        {"a": "A", "b": "B", "type": "PERSON"},
+        {"a": "B", "b": "C", "type": "PERSON"},
+        {"a": "C", "b": "D", "type": "PERSON"},
+        {"a": "X", "b": "Y", "type": "PERSON"},    # second component
+    ])
+    rows = C.propagate_components(pairs)
+    roots = {r["node"]: r["label"] for r in rows}
+    assert len({roots[k] for k in ("A|PERSON", "B|PERSON", "C|PERSON",
+                                   "D|PERSON")}) == 1
+    assert len({roots["X|PERSON"], roots["Y|PERSON"]}) == 1
+    assert roots["A|PERSON"] != roots["X|PERSON"]

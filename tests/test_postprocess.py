@@ -205,3 +205,56 @@ def test_attach_gloss_distributed(ray_session):
     want = {(s["doc_id"], s["sent_idx"]): s["text"] for s in rows}
     for r in out:
         assert r["gloss"] == want[(r["doc_id"], r["sent_idx"])]
+
+
+def test_repair_provenance(ray_session):
+    """A fill with wrong/missing provenance is repaired to the best
+    (shortest) supporting sentence; a fill whose provenance already
+    supports it is untouched (SimpleSlotFiller.java:484-676)."""
+    import ray.data as rd
+    sentences = rd.from_items([
+        {"doc_id": "dA", "sent_idx": 0,
+         "text": "Acme Corp announced that Jane Doe is chief "
+                 "executive of the new division in Toronto ."},
+        {"doc_id": "dA", "sent_idx": 1,
+         "text": "Jane Doe leads Acme Corp ."},          # shortest
+        {"doc_id": "dB", "sent_idx": 0,
+         "text": "Markets were mixed on Tuesday ."},
+    ])
+    fills = rd.from_items([
+        # provenance points at a sentence that doesn't support it
+        _fill(doc_id="dB", sent_idx=0),
+        # provenance nonexistent
+        _fill(obj="Toronto", obj_type="CITY",
+              pred="org:city_of_headquarters",
+              doc_id="dZ", sent_idx=9),
+        # healthy provenance: untouched
+        _fill(doc_id="dA", sent_idx=0, pred="org:founded_by"),
+    ])
+    out = {(r["pred"], r["doc_id"], r["sent_idx"])
+           for r in P.repair_provenance(fills, sentences).take_all()}
+    assert ("org:top_members/employees", "dA", 1) in out   # shortest
+    assert ("org:city_of_headquarters", "dA", 0) in out
+    assert ("org:founded_by", "dA", 0) in out
+
+
+def test_repair_provenance_no_support_keeps_original(ray_session):
+    import ray.data as rd
+    sentences = rd.from_items([
+        {"doc_id": "dA", "sent_idx": 0, "text": "Nothing relevant ."}])
+    fills = rd.from_items([_fill(doc_id="dQ", sent_idx=7)])
+    out = P.repair_provenance(fills, sentences).take_all()
+    assert (out[0]["doc_id"], out[0]["sent_idx"]) == ("dQ", 7)
+
+
+def test_repair_provenance_via_alias(ray_session):
+    """A canonicalized subject matches its alias surface in text."""
+    import ray.data as rd
+    sentences = rd.from_items([
+        {"doc_id": "dA", "sent_idx": 3,
+         "text": "ACME hired Jane Doe ."}])
+    fills = rd.from_items([_fill(doc_id="dX", sent_idx=0)])
+    out = P.repair_provenance(
+        fills, sentences,
+        aliases=[("ACME", "Acme Corp", 1.0)]).take_all()
+    assert (out[0]["doc_id"], out[0]["sent_idx"]) == ("dA", 3)
