@@ -44,7 +44,7 @@ TRAIN_DOC_OFFSET = 1_000_000      # disjoint from eval doc ids
 NEG_SUBSAMPLE = 0.10
 FEATURE_COUNT_THRESHOLD = 5
 EPOCHS = 8
-FEATURE_VERSION = 2               # bust stale model caches on template changes
+FEATURE_VERSION = 3               # bust stale model caches on template changes
 
 
 def _label_batch(batch: pa.Table, kb: dict) -> pa.Table:

@@ -360,7 +360,7 @@ ALL_DEP_TEMPLATES = (
     "dependency_path_directed_bigrams",
     "dependency_path_edge_unigrams", "verb_in_dependency_path",
     "dependency_paths_to_verb", "dependency_path_stubs_to_verb",
-    "full_tree_path")
+    "dependency_path_clusters", "full_tree_path")
 
 
 def dep_template_features(tokens: list[str], pos: list[str],
@@ -370,9 +370,10 @@ def dep_template_features(tokens: list[str], pos: list[str],
                           templates=ALL_DEP_TEMPLATES) -> list[str]:
     """The full dependency-template library of
     ``FeatureFactory.addDependencyPathFeatures``
-    (``FeatureFactory.java:660-930`` — the 23 dep-path variants minus
-    the word-cluster ones, which need the Brown-cluster side file this
-    rebuild deliberately omits). ``dep_features`` below emits the
+    (``FeatureFactory.java:660-930`` — all dep-path variants; the
+    word-cluster family reads the deterministic Brown-cluster stand-in
+    ``world.word_clusters`` in place of the ``egw4-reut.512.clusters``
+    side file). ``dep_features`` below emits the
     ACTIVE subset; this function serves any requested template set.
     Path words are lemmatized with the deterministic stand-in lemma;
     whitespace in emitted strings becomes ``_`` (postProcessFeature).
@@ -407,6 +408,14 @@ def dep_template_features(tokens: list[str], pos: list[str],
     if "dependency_path_words" in want:
         feats.extend("word_in_dependency_path:" + lemma(tokens[i])
                      for i in noarg)
+    if "dependency_path_clusters" in want:
+        # word-cluster variant (``FeatureFactory.java:844-852``): one
+        # feature per path word found in the cluster map (the
+        # deterministic Brown-cluster stand-in, world.word_clusters)
+        from ..world import get_world
+        clusters = get_world().word_clusters()
+        feats.extend("cluster_in_dependency_path:" + clusters[tokens[i]]
+                     for i in noarg if tokens[i] in clusters)
     if "dependency_path_POS_unigrams" in want:
         feats.extend("POS_in_dependency_path:_" + pos[i]
                      for i in nodes[1:-1])
@@ -525,8 +534,17 @@ def dep_features(tokens: list[str], pos: list[str],
 
     Args are located by their syntactic head = last token of the span
     (head-final chunks, matching ``getSyntacticHeadTokenPosition``).
+
+    Round 3 added the word-cluster family to the active set (the
+    Brown-cluster stand-in, completing the reference's template
+    library). A wider structural activation (generalized path, length,
+    POS/edge unigrams, verb-in-path) was MEASURED and rejected: LR
+    precision 0.806 → 0.716 at equal recall on the 400-doc training /
+    200-doc eval split — the extra sparse templates overfit the
+    distant-supervision labels (numbers recorded in BASELINE.md).
+    Feature-set changes bump ``pipelines.train.FEATURE_VERSION``.
     """
     return dep_template_features(
         tokens, pos, edges, subj_span, obj_span,
         templates=("dependency_path_lowlevel", "dependency_path_words",
-                   "full_tree_path"))
+                   "dependency_path_clusters", "full_tree_path"))

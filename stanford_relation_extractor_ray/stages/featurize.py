@@ -44,6 +44,7 @@ from .deps import dep_features
 class Featurizable(NamedTuple):
     """Row view handed to providers (``Featurizable.java`` analog)."""
 
+    subj: str
     subj_type: str
     obj: str
     obj_type: str
@@ -107,6 +108,43 @@ def _p_span_words_bigrams(f: Featurizable) -> list[str]:
     return [f"span_bigram:{a}-{b}" for a, b in zip(t, t[1:])]
 
 
+def _clusters() -> dict[str, str]:
+    from ..world import get_world
+    return get_world().word_clusters()
+
+
+def _p_arg_cluster(f: Featurizable) -> list[str]:
+    """FeatureFactory.java:349-356: clusters of the two arg head
+    words, separately and concatenated."""
+    cl = _clusters()
+    c0 = cl.get(f.subj.rsplit(" ", 1)[-1])
+    c1 = cl.get(f.obj.rsplit(" ", 1)[-1])
+    feats = []
+    if c0 is not None:
+        feats.append(f"cluster_arg0:_{c0}")
+    if c1 is not None:
+        feats.append(f"cluster_arg1:_{c1}")
+    if c0 is not None and c1 is not None:
+        feats.append(f"cluster_args:_{c0}__{c1}")
+    return feats
+
+
+def _p_span_clusters_unigrams(f: Featurizable) -> list[str]:
+    """FeatureFactory.java:495-502: span words mapped to clusters."""
+    cl = _clusters()
+    return [f"span_cluster:{cl[t]}" for t in f.between_tokens
+            if t in cl]
+
+
+def _p_surface_path_clusters(f: Featurizable) -> list[str]:
+    """FeatureFactory.java:450-476: concatenation of the between
+    tokens mapped to word clusters (tokens without a cluster are
+    skipped, exactly as the reference's containsKey guard does)."""
+    cl = _clusters()
+    path = "_".join(cl[t] for t in f.between_tokens if t in cl)
+    return [f"surface_path_clusters:_{path}_"] if path else []
+
+
 FEATURE_PROVIDERS: dict[str, object] = {
     "legacy_conjunctions": _p_legacy_conjunctions,
     "arg_type": _p_arg_type,
@@ -116,15 +154,19 @@ FEATURE_PROVIDERS: dict[str, object] = {
     "arg_words": _p_arg_words,
     "span_words_unigrams": _p_span_words_unigrams,
     "span_words_bigrams": _p_span_words_bigrams,
+    "arg_cluster": _p_arg_cluster,
+    "span_clusters_unigrams": _p_span_clusters_unigrams,
+    "surface_path_clusters": _p_surface_path_clusters,
 }
 
 #: the default template set, in emission order (matches the active
-#: relationFeatures list; changing it requires a trained-model cache
-#: version bump in pipelines/train.py)
+#: relationFeatures list plus the word-cluster families; changing it
+#: requires a trained-model cache version bump in pipelines/train.py)
 ACTIVE_FEATURES: tuple[str, ...] = (
     "legacy_conjunctions", "arg_type", "surface_distance_binary",
     "surface_distance_bins", "arg_order", "arg_words",
-    "span_words_unigrams")
+    "span_words_unigrams", "arg_cluster", "span_clusters_unigrams",
+    "surface_path_clusters")
 
 
 def register_feature(name: str, provider) -> None:
@@ -142,12 +184,20 @@ def context_features(tokens: list[str], pos, edges,
     """
     n = len(tokens)
     feats: list[str] = []
-    # adjacent_words: words immediately left/right of each arg extent
+    cl = _clusters()
+    # adjacent_words + adjacent_clusters: words (and their clusters,
+    # FeatureFactory.java:382-395) immediately left/right of each arg
     for argn, (b, e) in enumerate((em_span, sm_span)):
         if b > 0:
             feats.append(f"leftarg{argn}-{tokens[b - 1]}")
+            c = cl.get(tokens[b - 1])
+            if c is not None:
+                feats.append(f"leftarg{argn}-{c}")
         if e < n:
             feats.append(f"rightarg{argn}-{tokens[e]}")
+            c = cl.get(tokens[e])
+            if c is not None:
+                feats.append(f"rightarg{argn}-{c}")
     # entities_between_args: NER type of every other mention whose head
     # lies strictly between the two arg heads
     h0, h1 = em_span[1] - 1, sm_span[1] - 1
@@ -180,6 +230,7 @@ def featurize_batch(batch: pa.Table,
                     features: tuple[str, ...] = ACTIVE_FEATURES
                     ) -> pa.Table:
     providers = [FEATURE_PROVIDERS[name] for name in features]
+    subj = batch.column("subj").to_pylist()
     subj_t = batch.column("subj_type").to_pylist()
     obj = batch.column("obj").to_pylist()
     obj_t = batch.column("obj_type").to_pylist()
@@ -192,10 +243,10 @@ def featurize_batch(batch: pa.Table,
         if "ctx_features" in batch.column_names else [[]] * len(obj)
 
     feats: list[list[str]] = []
-    for st, o, ot, bw, s0, s1, o0, o1, cx in zip(
-            subj_t, obj, obj_t, between, sb, se, ob, oe, ctx):
+    for s, st, o, ot, bw, s0, s1, o0, o1, cx in zip(
+            subj, subj_t, obj, obj_t, between, sb, se, ob, oe, ctx):
         row = Featurizable(
-            subj_type=st, obj=o, obj_type=ot, between=bw,
+            subj=s, subj_type=st, obj=o, obj_type=ot, between=bw,
             between_tokens=bw.split(" ") if bw else [],
             subj_head=s1 - 1, obj_head=o1 - 1,
             distance=abs((s1 - 1) - (o1 - 1)))

@@ -251,6 +251,42 @@ class World:
 
     # ---- derived lookup tables (broadcast to workers) -------------------
 
+    def word_clusters(self) -> dict[str, str]:
+        """word → cluster id: the deterministic stand-in for the
+        reference's Brown-cluster side file (``egw4-reut.512.clusters``
+        loaded at ``FeatureFactory.java:64-77``). Brown clusters group
+        distributionally-similar words; this rebuild derives the same
+        *shape* of grouping from the closed world's semantic classes
+        (all city tokens cluster together, all title tokens together,
+        first/last name tokens by role), sub-bucketed by a stable
+        crc32 so cluster granularity resembles a 512-cluster file.
+        Partial by design — the reference map also only covers its
+        vocabulary (``clusters.containsKey`` guards every use)."""
+        if getattr(self, "_word_clusters", None) is not None:
+            return self._word_clusters
+        import zlib
+        out: dict[str, str] = {}
+
+        def put(word: str, klass: str):
+            out.setdefault(
+                word, f"{klass}{zlib.crc32(word.encode()) % 8}")
+
+        for tag, values in self.slot_values.items():
+            if tag in ("DATE", "NUMBER", "URL"):
+                continue
+            for v in values:
+                for tok in v.split():
+                    put(tok, tag.lower())
+        for p in self.persons:
+            first, last = p.canonical.split()[0], p.canonical.split()[-1]
+            put(first, "firstname")
+            put(last, "lastname")
+        for o in self.orgs:
+            for tok in o.canonical.split():
+                put(tok, "orgword")
+        self._word_clusters = out
+        return out
+
     def ner_lexicon(self) -> dict[str, str]:
         """surface → NER tag, for the longest-match lexicon NER stage."""
         lex: dict[str, str] = {}

@@ -182,13 +182,53 @@ def test_full_dep_template_library():
     assert generalize("dobj") == "obj"
 
 
-def test_active_subset_unchanged():
-    """dep_features (the active set) emits exactly lowlevel + words +
-    tree, byte-identical to before the library refactor (trained
-    models stay valid)."""
+def test_active_subset_pinned():
+    """dep_features emits the round-3 active set (the properties-file
+    three + the word-cluster family; no clustered path word in this
+    sentence), pinned byte-for-byte — feature-set changes must bump
+    FEATURE_VERSION in pipelines/train.py and update this pin."""
     toks, pos, edges = _edges("Robert Smith was born in Toronto")
     feats = dep_features(toks, pos, edges, (0, 2), (5, 6))
     assert feats == [
         "dep_path_lowlevel:_nsubj->__<-prep_in_",
         "word_in_dependency_path:born",
         "full_tree_path:NNP_->_VBN_<-_NNP"]
+
+
+def test_dependency_path_clusters_template():
+    """Word-cluster family (FeatureFactory.java:844-852) over the
+    deterministic Brown-cluster stand-in: path words found in the
+    cluster map emit cluster_in_dependency_path features."""
+    from stanford_relation_extractor_ray.stages.deps import \
+        dep_template_features
+    from stanford_relation_extractor_ray.world import get_world
+    clusters = get_world().word_clusters()
+    # "treasurer" is a TITLE token → clustered
+    toks, pos, edges = _edges("Robert Smith the treasurer of Toronto")
+    feats = dep_template_features(
+        toks, pos, edges, (0, 2), (5, 6),
+        templates=("dependency_path_clusters",))
+    want = "cluster_in_dependency_path:" + clusters["treasurer"]
+    assert any(f == want for f in feats), feats
+
+
+def test_featurize_cluster_providers():
+    import pyarrow as pa
+    from stanford_relation_extractor_ray.schemas import \
+        CANDIDATES_SCHEMA
+    from stanford_relation_extractor_ray.stages.featurize import \
+        featurize_batch
+    from stanford_relation_extractor_ray.world import get_world
+    clusters = get_world().word_clusters()
+    batch = pa.Table.from_pylist([{
+        "subj": "Robert Smith", "subj_type": "PERSON",
+        "obj": "treasurer", "obj_type": "TITLE",
+        "doc_id": "d0", "sent_idx": 0,
+        "subj_begin": 0, "subj_end": 2, "obj_begin": 5, "obj_end": 6,
+        "between": "serves as", "ctx_features": []}],
+        schema=CANDIDATES_SCHEMA)
+    feats = featurize_batch(batch).to_pylist()[0]["features"]
+    assert f"cluster_arg0:_{clusters['Smith']}" in feats
+    assert f"cluster_arg1:_{clusters['treasurer']}" in feats
+    assert (f"cluster_args:_{clusters['Smith']}__"
+            f"{clusters['treasurer']}") in feats
