@@ -27,6 +27,100 @@ from ..schemas import CANDIDATES_SCHEMA
 
 MAX_DISTANCE = 12
 
+#: POS tags a slot mention may neither start nor end on
+#: (``SlotMentionAnnotator.java:148-152,168-171``)
+_INVALID_SLOT_POS = frozenset({"IN", "DT", "RB", "EX", "POS"})
+
+
+def scan_slot_mentions(tokens: list[str], pos: list[str],
+                       ner: list[str], ante: list[str],
+                       entity_mask: list[bool],
+                       entity_ner: str | None) -> list[tuple]:
+    """Maximal same-NER-run slot-mention scan with POS fixups — the
+    ``SlotMentionAnnotator.extractSlotMentions`` token loop
+    (``SlotMentionAnnotator.java:134-192``), over token-level layers
+    instead of a value lexicon:
+
+    - a run starts on a non-blank NER tag, outside the (query) entity
+      mask, never on IN/DT/RB/EX/POS;
+    - it extends while the NER tag matches and the token is unmasked;
+    - trailing IN/DT/RB/EX/POS tokens are trimmed (POS fixup);
+    - a run whose last NER tag equals the entity's and which abuts a
+      masked token is dropped (dangling edge of the entity mention,
+      the "[George Bush] Sr." rule, ``:174-176``);
+    - the first antecedent seen inside the run is carried (normalized
+      name), except for DATE/NUMBER (``:183``).
+
+    Returns (begin, end, ner_tag, antecedent) tuples. With a model NER
+    swapped into ``NLPAnnotator`` this scan is what frees slot
+    mentions from the lexicon; over the deterministic stand-in's
+    layers it reproduces the lexicon mention spans (runs of one
+    value's tokens) plus the merge/trim/dangling rules.
+    """
+    n = len(tokens)
+    out: list[tuple] = []
+    start = 0
+    while start < n:
+        tag = ner[start]
+        if not tag or entity_mask[start] \
+                or pos[start] in _INVALID_SLOT_POS:
+            start += 1
+            continue
+        a = ante[start]
+        end = start + 1
+        while end < n:
+            if not a:
+                a = ante[end]
+            if ner[end] != tag or entity_mask[end]:
+                break
+            end += 1
+        while end > start + 1 and pos[end - 1] in _INVALID_SLOT_POS:
+            end -= 1
+        if end < n - 1 and entity_mask[end] and entity_ner is not None \
+                and ner[end - 1] == entity_ner:
+            start = end
+            continue
+        out.append((start, end, tag,
+                    a if tag not in ("DATE", "NUMBER") else ""))
+        start = end
+    return out
+
+
+def _token_layers(n: int, mention_tuples) -> tuple[list, list]:
+    """Per-token (ner, antecedent) layers from mention tuples
+    (surface, ner, begin, end, antecedent)."""
+    ner = [""] * n
+    ante = [""] * n
+    for _s, tag, b, e, a in mention_tuples:
+        for i in range(b, min(e, n)):
+            ner[i] = tag
+            if a:
+                ante[i] = a
+    return ner, ante
+
+
+def slots_for_subject(tokens: list[str], pos: list[str],
+                      mention_tuples, subj_resolved: str,
+                      layers: tuple | None = None) -> list[tuple]:
+    """Slot mentions for one subject: the same-NER-run scan with the
+    subject's mentions (every mention resolving to the same surface —
+    the reference's per-query entityMentions) masked out. Returns
+    mention-shaped tuples (surface, ner, begin, end, antecedent).
+    ``layers`` lets callers reuse per-sentence ``_token_layers``."""
+    n = len(tokens)
+    ner, ante = layers if layers is not None \
+        else _token_layers(n, mention_tuples)
+    mask = [False] * n
+    entity_ner = None
+    for s, tag, b, e, a in mention_tuples:
+        if (a or s) == subj_resolved:
+            entity_ner = tag
+            for i in range(b, min(e, n)):
+                mask[i] = True
+    return [(" ".join(tokens[b:e]), tag, b, e, a)
+            for b, e, tag, a in scan_slot_mentions(
+                tokens, pos, ner, ante, mask, entity_ner)]
+
 
 def pair_mentions(batch: pa.Table) -> pa.Table:
     from .featurize import context_features
@@ -52,47 +146,57 @@ def pair_mentions(batch: pa.Table) -> pa.Table:
                      for d in deps_col[row_i]]
             ment_spans = [(m["begin"], m["end"], m["ner"])
                           for m in mentions]
+        else:
+            from .deps import pos_tag
+            pos = pos_tag(tokens)
+        ment_tuples = [(m["surface"], m["ner"], m["begin"], m["end"],
+                        m["antecedent"]) for m in mentions]
+        layers = _token_layers(len(tokens), ment_tuples)
         best: dict[tuple, tuple] = {}
         for em in mentions:
             if em["ner"] not in ("PERSON", "ORGANIZATION"):
                 continue
             subj_surface = em["antecedent"] or em["surface"]
-            for sm in mentions:
-                if sm is em or sm["antecedent"]:
-                    continue                      # slot can't be a pronoun
-                if not (em["end"] <= sm["begin"] or sm["end"] <= em["begin"]):
-                    continue                      # overlapping spans
-                if em["end"] <= sm["begin"]:
-                    gap = sm["begin"] - em["end"]
+            # slot side: the same-NER-run scan with this subject's
+            # mentions masked (SlotMentionAnnotator semantics)
+            for s_surf, s_ner, s_b, s_e, s_a in slots_for_subject(
+                    tokens, pos, ment_tuples, subj_surface,
+                    layers=layers):
+                if s_a:
+                    continue                  # slot can't be a pronoun
+                if em["end"] <= s_b:
+                    gap = s_b - em["end"]
+                elif s_e <= em["begin"]:
+                    gap = em["begin"] - s_e
                 else:
-                    gap = em["begin"] - sm["end"]
+                    continue                  # overlapping spans
                 if gap > MAX_DISTANCE:
                     continue
-                key = (subj_surface, sm["surface"])
+                key = (subj_surface, s_surf)
                 prev = best.get(key)
                 if prev is not None and prev[0] <= gap:
                     continue
-                lo, hi = ((em["end"], sm["begin"])
-                          if em["end"] <= sm["begin"]
-                          else (sm["end"], em["begin"]))
+                lo, hi = ((em["end"], s_b) if em["end"] <= s_b
+                          else (s_e, em["begin"]))
                 between = " ".join(tokens[lo:hi])
-                best[key] = (gap, em, sm, subj_surface, between)
+                best[key] = (gap, em, (s_surf, s_ner, s_b, s_e),
+                             subj_surface, between)
         for gap, em, sm, subj_surface, between in best.values():
             cols["subj"].append(subj_surface)
             cols["subj_type"].append(em["ner"])
-            cols["obj"].append(sm["surface"])
-            cols["obj_type"].append(sm["ner"])
+            cols["obj"].append(sm[0])
+            cols["obj_type"].append(sm[1])
             cols["doc_id"].append(doc_id)
             cols["sent_idx"].append(sent_idx)
             cols["subj_begin"].append(em["begin"])
             cols["subj_end"].append(em["end"])
-            cols["obj_begin"].append(sm["begin"])
-            cols["obj_end"].append(sm["end"])
+            cols["obj_begin"].append(sm[2])
+            cols["obj_end"].append(sm[3])
             cols["between"].append(between)
             cols["ctx_features"].append(
                 context_features(tokens, pos, edges, ment_spans,
                                  (em["begin"], em["end"]),
-                                 (sm["begin"], sm["end"]))
+                                 (sm[2], sm[3]))
                 if has_ctx else [])
     return pa.Table.from_arrays(
         [pa.array(cols[n], t) for n, t in
@@ -124,17 +228,23 @@ def pair_candidates_fused(annotator, batch: pa.Table,
         memo = annotator._pair_memo = {}
 
     def compute_rows(tokens, mentions):
+        from .deps import pos_tag
         if with_ctx:
             pos, edges = annotator.analyze(tokens)
             ment_spans = [(m[2], m[3], m[1]) for m in mentions]
+        else:
+            pos = pos_tag(tokens)
+        layers = _token_layers(len(tokens), mentions)
         best: dict[tuple, tuple] = {}
         for em in mentions:
             e_surf, e_ner, e_b, e_e, e_ante = em
             if e_ner != "PERSON" and e_ner != "ORGANIZATION":
                 continue
             subj_surface = e_ante or e_surf
-            for sm in mentions:
-                if sm is em or sm[4]:
+            # slot side: same-NER-run scan, this subject masked
+            for sm in slots_for_subject(tokens, pos, mentions,
+                                        subj_surface, layers=layers):
+                if sm[4]:
                     continue                  # slot can't be a pronoun
                 s_b, s_e = sm[2], sm[3]
                 if e_e <= s_b:

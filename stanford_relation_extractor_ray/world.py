@@ -63,8 +63,10 @@ IDEOLOGIES = ["environmentalism", "federalism", "mutualism",
               "cooperativism"]
 CHARGES = ["tax evasion", "insider trading", "embezzlement", "fraud",
            "perjury", "bribery"]
+# no determiner-initial values: the same-NER-run slot scan's POS rules
+# (SlotMentionAnnotator.java:148-152) never start a slot on DT
 CAUSES = ["pneumonia", "heart failure", "malaria", "sepsis",
-          "complications of influenza", "a stroke"]
+          "complications of influenza", "stroke"]
 MONTHS = ["January", "February", "March", "April", "May", "June", "July",
           "August", "September", "October", "November", "December"]
 

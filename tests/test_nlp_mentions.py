@@ -155,3 +155,62 @@ def test_doc_coref_short_ref_not_a_slot():
     # like pronouns, recovered short references are subject-capable
     # but never slot values
     assert all(c["obj"] != "Petrov" for c in cands)
+
+
+# ---- same-NER-run slot-mention scan (SlotMentionAnnotator.java
+# :134-192 scan rules over token NER/POS layers) ----------------------
+
+def _scan(sent, ner_spans, mask_spans=(), entity_ner=None, ante=None):
+    from stanford_relation_extractor_ray.stages.deps import pos_tag
+    from stanford_relation_extractor_ray.stages.mentions import \
+        scan_slot_mentions
+    toks = sent.split(" ")
+    ner = [""] * len(toks)
+    for b, e, t in ner_spans:
+        for i in range(b, e):
+            ner[i] = t
+    mask = [False] * len(toks)
+    for b, e in mask_spans:
+        for i in range(b, e):
+            mask[i] = True
+    return scan_slot_mentions(toks, pos_tag(toks), ner,
+                              ante or [""] * len(toks), mask,
+                              entity_ner)
+
+
+def test_slot_scan_merges_same_ner_run():
+    # two adjacent CITY-tagged values become ONE maximal run
+    out = _scan("He visited Toronto Marseille today",
+                [(2, 3, "CITY"), (3, 4, "CITY")])
+    assert (2, 4, "CITY", "") in out
+
+
+def test_slot_scan_pos_fixups():
+    # run may not START on DT ("the") nor END on IN ("of")
+    out = _scan("the treasurer of Acme",
+                [(0, 3, "TITLE")])
+    assert out == [(1, 2, "TITLE", "")]
+
+
+def test_slot_scan_entity_mask_and_dangling():
+    # the masked entity is no slot; a same-NER run abutting the
+    # entity's mask is dropped as a dangling edge ("George Bush Sr.")
+    out = _scan("Junior Smith spoke",
+                [(0, 1, "PERSON"), (1, 2, "PERSON")],
+                mask_spans=[(1, 2)], entity_ner="PERSON")
+    assert out == []        # "Junior" dangles off the entity edge
+
+
+def test_slot_scan_antecedent_carried_not_for_dates():
+    ante = ["", "", "Priya Petrov", "", ""]
+    out = _scan("met with Petrov in 1990",
+                [(2, 3, "PERSON"), (4, 5, "NUMBER")], ante=ante)
+    assert (2, 3, "PERSON", "Priya Petrov") in out
+    assert (4, 5, "NUMBER", "") in out       # NUMBER never normalized
+
+
+def test_slot_scan_full_lexicon_value_with_interior_in():
+    # "complications of influenza": interior IN stays, span survives
+    out = _scan("died of complications of influenza .",
+                [(2, 5, "CAUSE_OF_DEATH")])
+    assert out == [(2, 5, "CAUSE_OF_DEATH", "")]
