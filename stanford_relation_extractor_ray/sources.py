@@ -159,57 +159,115 @@ def write_official_output(fills, path: str, run_id: str = "ray1",
     score, or the TOP ``top_k`` by score (SINGLE relations are top-1
     by construction after consistency).
 
-    Scale bound: this sink (and ``write_predictions_tab``) collects
-    the fills table to the driver for the single official file — the
-    table is per-query-entity post-consistency output, bounded by
-    #queries × #relations × list size, NOT corpus-sized. Corpus-scale
-    outputs go through ``storage.write_table`` (partitioned Parquet).
+    Distributed sink: per-subject official blocks (NIL lines, list
+    strategy, sorting inside the subject) are formatted in a coarse
+    hash-partitioned ``groupby`` — every subject's fills land in one
+    partition and nothing corpus-sized reaches the driver. The driver
+    then streams the (one-row-per-subject) block table in subject
+    order into the single official file; memory is bounded by one
+    batch of blocks, not the fills table.
     """
     if list_strategy not in ("ALL", "BEST", "TOP"):
         raise ValueError(f"unknown list strategy: {list_strategy}")
-    rows = fills.sort(["subj", "pred", "obj"]).take_all()
-    if list_strategy != "ALL":
-        keep = 1 if list_strategy == "BEST" else top_k
-        by_key: dict[tuple, list[dict]] = {}
-        for r in rows:
-            by_key.setdefault((r["subj"], r["pred"]), []).append(r)
-        rows = []
-        for key in sorted(by_key):
-            grp = sorted(by_key[key],
-                         key=lambda r: (-r["score"], r["obj"]))[:keep]
-            rows.extend(sorted(grp, key=lambda r: r["obj"]))
-    by_subj: dict[str, list[dict]] = {}
-    for r in rows:
-        by_subj.setdefault(r["subj"], []).append(r)
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "w") as f:
+    import pyarrow as _pa
+
+    from .runtime import cluster_cpus
+    n_parts = max(16, cluster_cpus() * 4)
+    rels_all = sorted(set(all_relations or []))
+    keep = None if list_strategy == "ALL" \
+        else (1 if list_strategy == "BEST" else top_k)
+
+    def add_pid(batch: _pa.Table) -> _pa.Table:
+        import pandas as pd
+        pid = (pd.util.hash_pandas_object(
+            batch.column("subj").to_pandas(), index=False)
+            .to_numpy() % n_parts).astype("int32")
+        return batch.append_column("pid", _pa.array(pid))
+
+    def format_partition(group: _pa.Table) -> _pa.Table:
+        names = [n for n in group.column_names if n != "pid"]
+        by_subj: dict[str, list[dict]] = {}
+        for vals in zip(*(group.column(c).to_pylist() for c in names)):
+            r = dict(zip(names, vals))
+            by_subj.setdefault(r["subj"], []).append(r)
+        out_s, out_b = [], []
         for subj in sorted(by_subj):
-            fills_here = by_subj[subj]
-            filled = {r["pred"] for r in fills_here}
-            rels = sorted(set(all_relations or []) | filled)
-            for rel in rels:
-                matching = [r for r in fills_here if r["pred"] == rel]
+            rows = sorted(by_subj[subj],
+                          key=lambda r: (r["pred"], r["obj"]))
+            if keep is not None:
+                by_key: dict[str, list[dict]] = {}
+                for r in rows:
+                    by_key.setdefault(r["pred"], []).append(r)
+                rows = []
+                for pred in sorted(by_key):
+                    grp = sorted(by_key[pred],
+                                 key=lambda r: (-r["score"],
+                                                r["obj"]))[:keep]
+                    rows.extend(sorted(grp, key=lambda r: r["obj"]))
+            lines = []
+            filled = {r["pred"] for r in rows}
+            for rel in sorted(set(rels_all) | filled):
+                matching = [r for r in rows if r["pred"] == rel]
                 if not matching:
-                    f.write(f"{subj}\t{rel}\t{run_id}\tNIL\n")
+                    lines.append(f"{subj}\t{rel}\t{run_id}\tNIL")
                     continue
                 for r in matching:
-                    f.write(f"{subj}\t{rel}\t{run_id}\t"
-                            f"{r['doc_id']}\t{r['obj']}\n")
+                    lines.append(f"{subj}\t{rel}\t{run_id}\t"
+                                 f"{r['doc_id']}\t{r['obj']}")
+            out_s.append(subj)
+            out_b.append("\n".join(lines))
+        return _pa.table({"subj": _pa.array(out_s, _pa.string()),
+                          "block": _pa.array(out_b, _pa.string())})
+
+    blocks = (fills.map_batches(add_pid, batch_format="pyarrow")
+              .groupby("pid")
+              .map_groups(format_partition, batch_format="pyarrow")
+              .sort("subj"))
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        for batch in blocks.iter_batches(batch_format="pyarrow"):
+            for block in batch.column("block").to_pylist():
+                f.write(block + "\n")
     return path
 
 
 def write_predictions_tab(fills, path: str):
     """Machine-readable scored fills: one TSV row per fill —
     score, subj, subj_type, pred, obj, obj_type, doc_id, sent_idx,
-    spans (KBPEvaluator.java:173-187)."""
-    rows = fills.sort(["subj", "pred", "obj"]).take_all()
+    spans (KBPEvaluator.java:173-187).
+
+    Distributed sink: rows are formatted to lines inside
+    ``map_batches``, globally sorted by (subj, pred, obj) by the
+    distributed sort, and STREAMED to the single file via
+    ``iter_batches`` — the driver holds one batch at a time, never the
+    whole table."""
+    import pyarrow as _pa
+
+    def fmt(batch: _pa.Table) -> _pa.Table:
+        cols = {n: batch.column(n).to_pylist()
+                for n in ("score", "subj", "subj_type", "pred", "obj",
+                          "obj_type", "doc_id", "sent_idx",
+                          "subj_span", "obj_span")}
+        lines = []
+        for i in range(batch.num_rows):
+            ss, os_ = cols["subj_span"][i], cols["obj_span"][i]
+            lines.append("\t".join([
+                f"{cols['score'][i]:.6f}", cols["subj"][i],
+                cols["subj_type"][i], cols["pred"][i], cols["obj"][i],
+                cols["obj_type"][i], cols["doc_id"][i],
+                str(cols["sent_idx"][i]),
+                f"{ss[0]}-{ss[1]}", f"{os_[0]}-{os_[1]}"]))
+        return _pa.table({
+            "subj": batch.column("subj"),
+            "pred": batch.column("pred"),
+            "obj": batch.column("obj"),
+            "line": _pa.array(lines, _pa.string())})
+
+    lines_ds = (fills.map_batches(fmt, batch_format="pyarrow")
+                .sort(["subj", "pred", "obj"]))
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:
-        for r in rows:
-            ss, os_ = r["subj_span"], r["obj_span"]
-            f.write("\t".join([
-                f"{r['score']:.6f}", r["subj"], r["subj_type"],
-                r["pred"], r["obj"], r["obj_type"], r["doc_id"],
-                str(r["sent_idx"]),
-                f"{ss[0]}-{ss[1]}", f"{os_[0]}-{os_[1]}"]) + "\n")
+        for batch in lines_ds.iter_batches(batch_format="pyarrow"):
+            for line in batch.column("line").to_pylist():
+                f.write(line + "\n")
     return path
