@@ -135,6 +135,60 @@ def sentences_from_documents(documents):
     return documents.map_batches(split, batch_format="pyarrow")
 
 
+# fills-table size below which the unary chain runs driver-side in one
+# process (saves three fixed-latency Ray executions on tiny data); the
+# distributed gloss join + apply_unary handles everything above it
+SMALL_FILLS = 100_000
+
+
+def _postprocess_driver_side(consistent_mat, seed: int,
+                             known: dict | None):
+    """Driver-side unary chain over a (small, materialized) fills
+    table: glosses regenerated from the seeded corpus per provenance
+    doc, the SAME ``unary_chain`` applied in one call. Returns None
+    when the rows can't be collected (defensive; callers fall back to
+    the distributed path)."""
+    import re
+
+    import ray.data as rd
+
+    from ..corpus import doc_plan
+    from ..schemas import FILLS_SCHEMA
+    from ..stages.postprocess import unary_chain
+    from ..stages.worldknowledge import get_geography
+    from ..world import get_world
+
+    rows = consistent_mat.take_all()
+    if not rows:
+        return consistent_mat
+    world = get_world(seed)
+    sent_cache: dict[int, list[str]] = {}
+
+    def sentences_of(did: int) -> list[str]:
+        hit = sent_cache.get(did)
+        if hit is None:
+            spans, _ = doc_plan(did, world)
+            hit = sent_cache[did] = [s["text"] for s in spans
+                                     if s["kind"] == "text"]
+        return hit
+
+    glosses = []
+    for r in rows:
+        m = re.fullmatch(r"d(\d{9})", r["doc_id"])
+        gloss = ""
+        if m is not None:
+            sents = sentences_of(int(m.group(1)))
+            si = r["sent_idx"]
+            if 0 <= si < len(sents):
+                gloss = sents[si]
+        glosses.append(gloss)
+    batch = pa.Table.from_pylist(rows, schema=FILLS_SCHEMA) \
+        .append_column("gloss", pa.array(glosses, pa.string()))
+    out = unary_chain(batch, known=known, geo=get_geography()) \
+        .drop_columns(["gloss"])
+    return rd.from_arrow(out)
+
+
 def finalize_fills(fills, *, seed: int = 42, aliases_ref=None,
                    fused: bool = True, objective: str = "TOP",
                    mixing_time: int = 10, postprocess: bool = True,
@@ -180,6 +234,26 @@ def finalize_fills(fills, *, seed: int = 42, aliases_ref=None,
     # gloss join runs, and so the provenance doc-id set can be read
     consistent = consistent.materialize()
     if isinstance(sentences, str) and sentences == "auto":
+        if consistent.count() <= SMALL_FILLS:
+            # small-side gate (the canonical_map pattern): the chain
+            # is 3 fixed-latency Ray executions on a table this size;
+            # run the IDENTICAL unary_chain driver-side with glosses
+            # regenerated from the seeded corpus. Above the gate the
+            # distributed gloss join below takes over. Equality is
+            # pinned by tests/test_pipeline_e2e.py.
+            out = _postprocess_driver_side(consistent, seed, known)
+            if repair and out is not None:
+                import ray
+
+                from ..world import get_world
+                alias_rows = ray.get(aliases_ref) \
+                    if aliases_ref is not None \
+                    else get_world(seed).alias_table()
+                out = pp.repair_provenance(
+                    out, provenance_sentences(consistent, seed),
+                    aliases=alias_rows)
+            if out is not None:
+                return out
         sentences = provenance_sentences(consistent, seed)
     out = pp.apply_unary(consistent, sentences, known=known,
                          with_geo=True)

@@ -68,6 +68,26 @@ class NLPAnnotator:
                 (len(toks), toks[1:], tag, surface))
         for cands in self.trie.values():
             cands.sort(key=lambda c: -c[0])
+        # doc-coref candidate token universe: the per-document
+        # first/last-name and acronym maps are keyed by tokens derived
+        # from mention SURFACES, and surfaces come from this same
+        # lexicon — so a capitalized token outside this set can never
+        # resolve. Filtering U events on it is EXACT (not heuristic)
+        # and keeps ordinary capitalized words ("Officials", "The")
+        # from forcing a per-doc stats build. Coupled to the stand-in
+        # NER by construction; a model NER swap re-derives this set
+        # from its own entity vocabulary.
+        from ..world import acronym_of
+        self.short_candidates: set[str] = set()
+        for surface, tag in self.lexicon.items():
+            toks = surface.split(" ")
+            if tag == "PERSON" and len(toks) >= 2:
+                self.short_candidates.add(toks[0])
+                self.short_candidates.add(toks[-1])
+            elif tag == "ORGANIZATION":
+                ac = acronym_of(surface)
+                if ac is not None:
+                    self.short_candidates.add(ac)
         # sentence-scan memo: the corpus repeats sentence TEXTS heavily
         # (template-generated and dedup-bearing corpora alike — 97%
         # duplicate rate measured on the bench corpus), and the scan is
@@ -122,10 +142,11 @@ class NLPAnnotator:
             tag = PRONOUNS.get(tok)
             if tag is not None:
                 out.append(("P", tok, tag, i))
-            elif len(tok) >= 2 and tok.isalpha() and tok[0].isupper():
-                # unmatched capitalized token: a doc-level coref
-                # candidate (partial name / acronym), resolved against
-                # the document's mention inventory at replay time
+            elif tok in self.short_candidates:
+                # unmatched token from the short-reference universe: a
+                # doc-level coref candidate (partial name / acronym),
+                # resolved against the document's mention inventory at
+                # replay time
                 out.append(("U", tok, i))
             i += 1
         return out
@@ -158,12 +179,15 @@ class NLPAnnotator:
                         acro.setdefault(ac, set()).add(surface)
         return first, last, acro
 
-    def scan_text(self, text: str) -> tuple[list[str], list[tuple]]:
-        """Memoized (tokens, scan events) for one sentence text."""
+    def scan_text(self, text: str) -> tuple:
+        """Memoized (tokens, scan events, has_short_ref) for one
+        sentence text."""
         hit = self._scan_memo.get(text)
         if hit is None:
             tokens = text.split(" ") if text else []
-            hit = (tokens, self._scan(tokens))
+            events = self._scan(tokens)
+            hit = (tokens, events,
+                   any(ev[0] == "U" for ev in events))
             if len(self._scan_memo) >= self._MEMO_CAP:
                 self._scan_memo.clear()
             self._scan_memo[text] = hit
@@ -242,30 +266,31 @@ class NLPAnnotator:
         cap = self.max_sentence_tokens
         pos = 0
         for doc_id, ln in zip(doc_ids, lengths):
-            # pass 1: scan (memoized) every sentence; build the
-            # doc-level mention inventory only if an unresolved
-            # capitalized token exists anywhere in the document
-            doc_sents: list[tuple] = []
+            # single pass with LAZY doc stats: sentences without a
+            # short-reference token replay identically with or without
+            # the doc inventory, so it is built (over the memoized
+            # scans of the WHOLE document — forward references
+            # included) only when the first U event is hit. Most docs
+            # never pay.
+            text_ks = [k for k in range(pos, pos + ln)
+                       if kinds[k] == "text"]
+            stats = None
+            stats_built = False
+            last_seen: dict[str, str] = {}
             sent_idx = 0
-            has_u = False
-            for k in range(pos, pos + ln):
-                if kinds[k] != "text":
-                    continue
-                tokens, events = self.scan_text(texts[k])
+            for k in text_ks:
+                tokens, events, has_u = self.scan_text(texts[k])
                 if cap is not None and len(tokens) > cap:
                     sent_idx += 1    # gate long sentences, keep indices
                     continue
-                if not has_u:
-                    has_u = any(ev[0] == "U" for ev in events)
-                doc_sents.append((sent_idx, tokens, events, texts[k]))
-                sent_idx += 1
-            stats = self.doc_stats([s[2] for s in doc_sents]) \
-                if has_u else None
-            # pass 2: replay in order against doc coref state
-            last_seen: dict[str, str] = {}
-            for sent_idx, tokens, events, text in doc_sents:
+                if has_u and not stats_built:
+                    stats = self.doc_stats(
+                        [self.scan_text(texts[k2])[1]
+                         for k2 in text_ks])
+                    stats_built = True
                 yield doc_id, sent_idx, tokens, \
-                    self.replay(events, last_seen, stats), text
+                    self.replay(events, last_seen, stats), texts[k]
+                sent_idx += 1
             pos += ln
 
     def analyze(self, tokens: list[str]):

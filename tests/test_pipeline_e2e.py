@@ -99,3 +99,20 @@ def test_fast_path_equals_bag_path(ray_session):
     fast_scores = {key(r): round(r["score"], 9) for r in fast}
     bag_scores = {key(r): round(r["score"], 9) for r in bag}
     assert fast_scores == bag_scores
+
+
+def test_postprocess_gate_paths_equal(ray_session, monkeypatch):
+    """Driver-side unary chain (below SMALL_FILLS) == distributed
+    gloss join + apply_unary (above it) — same fills, same provenance."""
+    import stanford_relation_extractor_ray.pipelines.kg as kg
+
+    def run():
+        fills = kg.extract_fills(documents_dataset(60))
+        return sorted(
+            (r["subj"], r["pred"], r["obj"], r["doc_id"], r["sent_idx"])
+            for r in kg.finalize_fills(fills).take_all())
+
+    fast = run()
+    monkeypatch.setattr(kg, "SMALL_FILLS", 0)   # force distributed
+    dist = run()
+    assert fast == dist and len(fast) > 50
