@@ -137,6 +137,39 @@ def doc_plan(doc_id: int, world: World):
                          p + subj_tok + phr_tok + obj_tok],
         })
 
+        # obituary-style coherence: a doc asserting a location of
+        # death also asserts the date of death (the MitigateLocOfDeath
+        # consistency rule drops location-of-death fills whose entity
+        # has no date-of-death fill — real obituaries carry both)
+        if rel_name in ("per:city_of_death",
+                        "per:stateorprovince_of_death",
+                        "per:country_of_death") \
+                and not any(g["pred"] == "per:date_of_death"
+                            and g["subj"] == anchor.canonical
+                            for g in gold):
+            dd = next((f for f in facts
+                       if f[0] == "per:date_of_death"), None)
+            if dd is not None:
+                phrase2 = rng.choice(RELATIONS[dd[0]].phrases)
+                sent2 = " ".join([anchor.canonical, phrase2, dd[1],
+                                  "."])
+                subj2_tok = len(anchor.canonical.split())
+                phr2_tok = len(phrase2.split())
+                sentences.append(sent2)
+                gold.append({
+                    "subj": anchor.canonical,
+                    "subj_type": anchor.type,
+                    "pred": dd[0],
+                    "obj": dd[1],
+                    "obj_type": dd[2],
+                    "doc_id": f"d{doc_id:09d}",
+                    "sent_idx": len(sentences) - 1,
+                    "subj_span": [0, subj2_tok],
+                    "obj_span": [subj2_tok + phr2_tok,
+                                 subj2_tok + phr2_tok
+                                 + len(dd[1].split())],
+                })
+
     # interleave media spans at seeded positions
     spans: list[dict] = []
     offset = 0

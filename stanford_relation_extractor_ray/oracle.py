@@ -231,9 +231,19 @@ class OracleExtractor:
                         break
                 if ok:
                     accepted.append((cnt, s, st, rel, obj, ot))
-                    post = self._postprocess(s, rel, obj)
-                    if post is not None:
-                        out.add(post)
+            # independent MitigateLocOfDeath re-derivation: a
+            # location-of-death slot needs a date-of-death sibling
+            loc_death = ("per:city_of_death",
+                         "per:stateorprovince_of_death",
+                         "per:country_of_death")
+            if not any(rel == "per:date_of_death"
+                       for _c, _s, _st, rel, _o, _ot in accepted):
+                accepted = [a for a in accepted
+                            if a[3] not in loc_death]
+            for _cnt, s, _st, rel, obj, _ot in accepted:
+                post = self._postprocess(s, rel, obj)
+                if post is not None:
+                    out.add(post)
         return out
 
     def _postprocess(self, subj: str, rel: str, obj: str):

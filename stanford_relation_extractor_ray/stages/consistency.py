@@ -136,16 +136,37 @@ def consistent_group(group: pa.Table) -> pa.Table:
     rows = [dict(zip(group.column_names, vals))
             for vals in zip(*(group.column(c).to_pylist()
                               for c in group.column_names))]
-    return _rows_to_table(_greedy(rows))
+    return _rows_to_table(mitigate_loc_of_death(_greedy(rows)))
+
+
+LOC_OF_DEATH = frozenset({"per:city_of_death",
+                          "per:stateorprovince_of_death",
+                          "per:country_of_death"})
+
+
+def mitigate_loc_of_death(accepted: list[dict]) -> list[dict]:
+    """Exact MitigateLocOfDeath
+    (``HeuristicSlotfillPostProcessors.java:792-812``): a location-of-
+    death fill survives only if the entity also has a
+    per:date_of_death fill in the accepted set."""
+    if not any(r["pred"] in LOC_OF_DEATH for r in accepted):
+        return accepted
+    has_date = any(r["pred"] == "per:date_of_death" for r in accepted)
+    if has_date:
+        return accepted
+    return [r for r in accepted if r["pred"] not in LOC_OF_DEATH]
 
 
 def _engine(objective: str, mixing_time: int, seed: int):
-    """TOP (plain greedy) vs SUM (Gibbs restarts) per-entity engine."""
+    """TOP (plain greedy) vs SUM (Gibbs restarts) per-entity engine;
+    both run the nonlocal MitigateLocOfDeath prune over the accepted
+    set (the reference applies it as a leave-one-out post-processor
+    after the greedy filterStep)."""
     if objective == "TOP":
-        return _greedy
+        return lambda rows: mitigate_loc_of_death(_greedy(rows))
     if objective == "SUM":
-        return lambda rows: gibbs_greedy(rows, mixing_time=mixing_time,
-                                         seed=seed)
+        return lambda rows: mitigate_loc_of_death(
+            gibbs_greedy(rows, mixing_time=mixing_time, seed=seed))
     raise ValueError(f"unknown Gibbs objective: {objective}")
 
 

@@ -191,6 +191,20 @@ class World:
                         continue
                     chosen.add(obj)
                     facts.append((rel.name, obj, obj_type))
+            # KB coherence: a location of death implies a (known)
+            # date of death — the MitigateLocOfDeath consistency rule
+            # (HeuristicSlotfillPostProcessors.java:792-812) drops
+            # loc-of-death fills without one, so a coherent world
+            # never plans the unsupported case
+            has_loc_death = any("_of_death" in r and "date" not in r
+                                and "cause" not in r
+                                for r, _o, _t in facts)
+            has_date_death = any(r == "per:date_of_death"
+                                 for r, _o, _t in facts)
+            if has_loc_death and not has_date_death:
+                facts.append(
+                    ("per:date_of_death",
+                     rng.choice(self.slot_values["DATE"]), "DATE"))
             # alternate-names facts from aliases
             for al in ent.aliases:
                 rel_name = ("per:alternate_names" if ent.type == "PERSON"
