@@ -105,16 +105,56 @@ def extract_year(s: str) -> str | None:
 _MONTH_NUM = {m: i + 1 for i, m in enumerate([
     "January", "February", "March", "April", "May", "June", "July",
     "August", "September", "October", "November", "December"])}
+# month-name abbreviations ("Jan", "Jan.", "Sept", ...)
+for _m, _n in list(_MONTH_NUM.items()):
+    _MONTH_NUM[_m[:3]] = _n
+    _MONTH_NUM[_m[:3] + "."] = _n
+_MONTH_NUM["Sept"] = _MONTH_NUM["Sept."] = 9
+
+_ORDINAL_RE = re.compile(r"^([0-9]{1,2})(?:st|nd|rd|th)$",
+                         re.IGNORECASE)
+_NUMERIC_DATE_RE = re.compile(
+    r"^([0-9]{1,2})[/-]([0-9]{1,2})[/-]([12][0-9]{3})$")
+_ISO_RE = re.compile(
+    r"^[12][0-9X]{3}-[0-9X]{2}(?:-[0-9X]{2})?$")
+_DECADE_RE = re.compile(r"^(?:the )?([12][0-9]{2})0s$")
+_SEASONS = {"spring": "SP", "summer": "SU", "fall": "FA",
+            "autumn": "FA", "winter": "WI"}
 
 
 def timex_normalize(s: str) -> str | None:
-    """SUTime-style timex normalization of the corpus date shapes
-    (reference: TimexAnnotation canonical values consumed by
-    CanonicalMentionRewrite, HeuristicSlotfillPostProcessors.java:388):
-    "May 3 , 1970" → "1970-05-03"; "May 1970" → "1970-05-XX";
-    "1970" → "1970-XX-XX". Returns None when no year is present."""
+    """SUTime-depth timex normalization (the reference parses slot
+    values through SUTime, ``time/SUTimeSimpleParser.java:68-88``;
+    canonical values consumed by CanonicalMentionRewrite,
+    ``HeuristicSlotfillPostProcessors.java:388``). Covered shapes:
+
+    - "May 3 , 1970" / "3 May 1970" / "May 3rd , 1970" → "1970-05-03"
+    - month abbreviations: "Jan. 3 , 1970" → "1970-01-03"
+    - "May 1970" → "1970-05-XX";  "1970" → "1970-XX-XX"
+    - numeric US order: "05/03/1970" → "1970-05-03"
+    - decades: "the 1970s" → "197X" (SUTime decade convention)
+    - seasons: "Summer 1970" → "1970-SU"
+    - already-ISO values pass through unchanged
+
+    Returns None when no year anchor is present (relative expressions
+    like "yesterday" need a document date the pipeline, like the
+    reference's per-string parser, does not have)."""
+    s = s.strip()
+    if _ISO_RE.match(s):
+        return s
+    m = _DECADE_RE.match(s)
+    if m is not None:
+        return f"{m.group(1)}X"
+    m = _NUMERIC_DATE_RE.match(s)
+    if m is not None:
+        mm, dd, yyyy = int(m.group(1)), int(m.group(2)), m.group(3)
+        if mm > 12 and dd <= 12:        # unambiguous DD/MM/YYYY
+            mm, dd = dd, mm
+        if 1 <= mm <= 12 and 1 <= dd <= 31:
+            return f"{yyyy}-{mm:02d}-{dd:02d}"
+        return f"{yyyy}-XX-XX"
     toks = s.split(" ")
-    month = day = None
+    month = day = season = None
     year = None
     for t in toks:
         if t in _MONTH_NUM:
@@ -123,9 +163,18 @@ def timex_normalize(s: str) -> str | None:
             year = t
         elif t.isdigit() and 1 <= int(t) <= 31 and day is None:
             day = int(t)
+        elif t.lower() in _SEASONS:
+            season = _SEASONS[t.lower()]
+        else:
+            om = _ORDINAL_RE.match(t)
+            if om is not None and day is None \
+                    and 1 <= int(om.group(1)) <= 31:
+                day = int(om.group(1))
     if year is None:
         return None
     if month is None:
+        if season is not None:
+            return f"{year}-{season}"
         return f"{year}-XX-XX"
     if day is None:
         return f"{year}-{month:02d}-XX"

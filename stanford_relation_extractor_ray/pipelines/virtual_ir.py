@@ -35,16 +35,15 @@ def virtual_ir_documents(cand_sentences, *, sent_limit: int = SENT_LIMIT):
     ``(doc_id, spans)`` rows.
     """
     import pandas as pd
-    import zlib
 
     from ..runtime import cluster_cpus
     n_parts = max(16, cluster_cpus() * 4)
 
     def tag_entity(batch: pa.Table) -> pa.Table:
-        ents = batch.column("entity_id").to_pylist()
-        pid = np.fromiter(
-            (zlib.crc32(e.encode()) % n_parts for e in ents),
-            dtype=np.int32, count=len(ents))
+        # vectorized process-stable key hash (pandas siphash)
+        pid = (pd.util.hash_pandas_object(
+            batch.column("entity_id").to_pandas(), index=False)
+            .to_numpy() % n_parts).astype(np.int32)
         return (batch.select(["entity_id", "doc_id", "sent_idx",
                               "sentence"])
                 .append_column("pid", pa.array(pid)))
@@ -59,10 +58,9 @@ def virtual_ir_documents(cand_sentences, *, sent_limit: int = SENT_LIMIT):
         return df[["doc_id", "sent_idx", "sentence"]]
 
     def tag_doc(batch: pa.Table) -> pa.Table:
-        docs = batch.column("doc_id").to_pylist()
-        pid = np.fromiter(
-            (zlib.crc32(d.encode()) % n_parts for d in docs),
-            dtype=np.int32, count=len(docs))
+        pid = (pd.util.hash_pandas_object(
+            batch.column("doc_id").to_pandas(), index=False)
+            .to_numpy() % n_parts).astype(np.int32)
         return batch.append_column("dpid", pa.array(pid))
 
     def to_documents(df: pd.DataFrame) -> pd.DataFrame:

@@ -439,14 +439,15 @@ def attach_gloss(fills, sentences):
     n_parts = max(16, cluster_cpus() * 4)
     fill_names = list(FILLS_SCHEMA.names)
 
-    import zlib
 
     def _key_pid(doc_ids, sent_idxs):
-        # stable across processes (Python str hash is per-process salted)
-        out = np.empty(len(doc_ids), dtype=np.int32)
-        for i, (d, s) in enumerate(zip(doc_ids, sent_idxs)):
-            out[i] = zlib.crc32(f"{d}|{s}".encode()) % n_parts
-        return out
+        # vectorized process-stable key hash (pandas siphash with its
+        # fixed default key; Python str hash is per-process salted)
+        import pandas as pd
+        key = pd.Series(doc_ids, dtype="object").str.cat(
+            pd.Series(sent_idxs).astype(str), sep="|")
+        return (pd.util.hash_pandas_object(key, index=False)
+                .to_numpy() % n_parts).astype(np.int32)
 
     fill_types = dict(zip(FILLS_SCHEMA.names, FILLS_SCHEMA.types))
 

@@ -46,3 +46,23 @@ def test_approx_match_and_same_entity():
 def test_extract_year():
     assert extract_year("born on April 12 , 1984 .") == "1984"
     assert extract_year("no year here") is None
+
+
+def test_timex_sutime_shapes():
+    """SUTime-depth shapes (time/SUTimeSimpleParser.java contract)."""
+    from stanford_relation_extractor_ray.functions.text import \
+        timex_normalize as t
+    assert t("May 3 , 1970") == "1970-05-03"
+    assert t("3 May 1970") == "1970-05-03"
+    assert t("May 3rd , 1970") == "1970-05-03"
+    assert t("Jan. 3 , 1970") == "1970-01-03"
+    assert t("Sept 4 , 1980") == "1980-09-04"
+    assert t("May 1970") == "1970-05-XX"
+    assert t("1970") == "1970-XX-XX"
+    assert t("05/03/1970") == "1970-05-03"
+    assert t("23/11/1970") == "1970-11-23"   # unambiguous DD/MM
+    assert t("the 1970s") == "197X"
+    assert t("Summer 1970") == "1970-SU"
+    assert t("1970-05-03") == "1970-05-03"   # ISO passthrough
+    assert t("1970-05-XX") == "1970-05-XX"
+    assert t("yesterday") is None            # no document date
