@@ -195,34 +195,6 @@ class EnsembleScorer:
             if d is not None:
                 self.lr = LRModel.from_dict(d)
 
-    def _pattern_component(self, subj_type, obj_type, sent_features):
-        per_rel: dict[str, list[tuple[int, float]]] = {}
-        for i, feats in enumerate(sent_features):
-            if "order:SO" not in feats:
-                continue
-            between = next((f[8:] for f in feats
-                            if f.startswith("between:")), "")
-            rel = resolve_relation(between, subj_type, obj_type)
-            if rel is not None:
-                per_rel.setdefault(rel, []).append(
-                    (i, PATTERN_SENT_SCORE))
-        return self._noisy_or(per_rel)
-
-    def _lr_component(self, subj_type, obj_type, sent_features):
-        per_rel: dict[str, list[tuple[int, float]]] = {}
-        probs = self.lr.predict_proba(sent_features)
-        z = probs.argmax(axis=1)
-        for i, (zi, row) in enumerate(zip(z, probs)):
-            rel = self.lr.labels[zi]
-            if rel == NO_RELATION or row[zi] < LR_MIN_PROB:
-                continue
-            spec = RELATIONS.get(rel)
-            if spec is None or obj_type not in spec.slot_types:
-                continue
-            per_rel.setdefault(rel, []).append(
-                (i, float(row[zi]) * LR_WEIGHT))
-        return self._noisy_or(per_rel)
-
     @staticmethod
     def _noisy_or(per_rel: dict) -> dict:
         out = {}
@@ -236,47 +208,86 @@ class EnsembleScorer:
             out[rel] = (1.0 - score, best_i, best_s)
         return out
 
-    def _top_employee_component(self, subj_type, obj_type,
-                                sent_features):
-        """Third ensemble component: the TopEmployeesClassifier
-        (opt-in — it is a recall-oriented heuristic the reference
-        likewise enables via the classifier list)."""
-        per_rel: dict[str, list[tuple[int, float]]] = {}
-        for i, feats in enumerate(sent_features):
-            between = next((f[8:] for f in feats
-                            if f.startswith("between:")), "")
-            rel = top_employee_relation(subj_type, obj_type, between,
-                                        "order:SO" in feats)
-            if rel is not None:
-                per_rel.setdefault(rel, []).append(
-                    (i, PATTERN_SENT_SCORE))
-        return self._noisy_or(per_rel)
-
-    def _score_bag(self, subj_type, obj_type, sent_features):
-        """→ {relation: (combined_score, best_sent_i, best_sent_score)}"""
-        components = [self._pattern_component(subj_type, obj_type,
-                                              sent_features)]
-        if self.lr is not None:
-            components.append(self._lr_component(subj_type, obj_type,
-                                                 sent_features))
-        if self.with_top_employees:
-            components.append(self._top_employee_component(
-                subj_type, obj_type, sent_features))
-        for m in self.extra_models:
-            out = m.classify_bag(sent_features)
-            components.append(
-                {rel: (s, 0, s) for rel, s in out.items()})
-        return ensemble_combine(components, self.mode)
-
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Shares the fast path's batching discipline
+        (``CandidateScorer``): bags are FLATTENED so the whole batch
+        gets one feature-extraction pass and ONE ``predict_proba``
+        call, then per-(bag, relation) hit lists reassemble for the
+        noisy-or + ensemble combine. Replaced a per-bag loop whose
+        per-bag LR calls and duplicate feature scans were the bag
+        path's top CPU lines (semantics identical — hit order stays
+        bag-local ascending)."""
         cols = {n: batch.column(n).to_pylist()
                 for n in batch.column_names}
+        sf_col = cols["sent_features"]
+        n_bags = batch.num_rows
+
+        flat_feats: list = []
+        flat_bag: list[int] = []
+        flat_loc: list[int] = []
+        for r, sf in enumerate(sf_col):
+            flat_feats.extend(sf)
+            flat_bag.extend([r] * len(sf))
+            flat_loc.extend(range(len(sf)))
+        flat_so = [False] * len(flat_feats)
+        flat_between = [""] * len(flat_feats)
+        for j, feats in enumerate(flat_feats):
+            for f in feats:
+                if f == "order:SO":
+                    flat_so[j] = True
+                elif f.startswith("between:"):
+                    flat_between[j] = f[8:]
+
+        def add_hit(comp, r, rel, i, s):
+            comp.setdefault(r, {}).setdefault(rel, []).append((i, s))
+
+        pattern: dict[int, dict] = {}
+        tope: dict[int, dict] = {}
+        for j in range(len(flat_feats)):
+            r = flat_bag[j]
+            st, ot = cols["subj_type"][r], cols["obj_type"][r]
+            if flat_so[j]:
+                rel = resolve_relation(flat_between[j], st, ot)
+                if rel is not None:
+                    add_hit(pattern, r, rel, flat_loc[j],
+                            PATTERN_SENT_SCORE)
+            if self.with_top_employees:
+                rel = top_employee_relation(st, ot, flat_between[j],
+                                            flat_so[j])
+                if rel is not None:
+                    add_hit(tope, r, rel, flat_loc[j],
+                            PATTERN_SENT_SCORE)
+        lr_hits: dict[int, dict] = {}
+        if self.lr is not None and flat_feats:
+            probs = self.lr.predict_proba(flat_feats)
+            z = probs.argmax(axis=1)
+            pmax = probs[np.arange(len(z)), z]
+            for j in np.flatnonzero(pmax >= LR_MIN_PROB):
+                rel = self.lr.labels[z[j]]
+                if rel == NO_RELATION:
+                    continue
+                r = flat_bag[j]
+                spec = RELATIONS.get(rel)
+                if spec is None \
+                        or cols["obj_type"][r] not in spec.slot_types:
+                    continue
+                add_hit(lr_hits, r, rel, flat_loc[j],
+                        float(pmax[j]) * LR_WEIGHT)
+
         out: dict[str, list] = {n: [] for n in FILLS_SCHEMA.names}
-        for r in range(batch.num_rows):
+        for r in range(n_bags):
+            components = [self._noisy_or(pattern.get(r, {}))]
+            if self.lr is not None:
+                components.append(self._noisy_or(lr_hits.get(r, {})))
+            if self.with_top_employees:
+                components.append(self._noisy_or(tope.get(r, {})))
+            for m in self.extra_models:
+                mout = m.classify_bag(sf_col[r])
+                components.append(
+                    {rel: (s, 0, s) for rel, s in mout.items()})
+            scored = ensemble_combine(components, self.mode)
             subj_type = cols["subj_type"][r]
             obj_type = cols["obj_type"][r]
-            scored = self._score_bag(subj_type, obj_type,
-                                     cols["sent_features"][r])
             for rel, (score, best_i, _s) in scored.items():
                 out["subj"].append(cols["subj"][r])
                 out["subj_type"].append(subj_type)
