@@ -200,6 +200,19 @@ def _q_dedup_minhash(sf_dir: str):
     return _round_col(pairs, "jaccard", 6).sort(["id_a", "id_b"])
 
 
+def _q_dedup_components(sf_dir: str):
+    """Near-dup clusters: MinHash-LSH pairs → distributed min-label
+    connected components (root = component min id)."""
+    import pandas as pd
+    from stanford_relation_extractor_ray.stages.dedup import (
+        connected_components_ds, minhash_lsh_pairs)
+    pairs = minhash_lsh_pairs(_docs_with_id_text(sf_dir), k=3,
+                              num_perm=128, bands=64, threshold=0.5)
+    rows = connected_components_ds(pairs)
+    return pd.DataFrame(rows, columns=["id", "root"]) \
+        .sort_values("id").reset_index(drop=True)
+
+
 def _q_dedup_jaccard(sf_dir: str):
     import ray.data as rd
     from stanford_relation_extractor_ray.stages.dedup import jaccard_pairs
@@ -315,6 +328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup suite
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_components": _q_dedup_components,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
@@ -453,6 +467,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(list_intersect(a.s, b.s))::DOUBLE
                   / len(list_distinct(a.s || b.s)) >= 0.5
             ORDER BY id_a, id_b
+        """,
+        "dedup_components": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, string_split(text, ' ') w FROM documents),
+            sh AS (
+                SELECT doc_id, list_distinct(list_transform(
+                    generate_series(1, len(w) - 2),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) s
+                FROM toks),
+            prs AS (
+                SELECT a.doc_id ia, b.doc_id ib
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                      / len(list_distinct(a.s || b.s)) >= 0.5),
+            edges AS (
+                SELECT ia a, ib b FROM prs
+                UNION ALL SELECT ib, ia FROM prs),
+            reach(node, r) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT rc.node, e.b
+                FROM reach rc JOIN edges e ON e.a = rc.r)
+            SELECT node AS id, MIN(r) AS root
+            FROM reach GROUP BY node ORDER BY id
         """,
         "dedup_jaccard": """
             WITH toks AS (

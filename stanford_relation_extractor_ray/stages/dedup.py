@@ -473,9 +473,36 @@ def jaccard_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
         block_pairs, batch_format="pyarrow")
 
 
+def connected_components_ds(pairs, *, id_a: str = "id_a",
+                            id_b: str = "id_b"):
+    """Distributed connected components over a near-dup pair Dataset —
+    the scale path: iterative min-label propagation
+    (``canonicalize.propagate_components``; one coarse-pid
+    tagged-union shuffle per round), so the pair list never lands on
+    the driver. Returns the (pair-node-bounded) assignment as a list
+    of ``{"id": int, "root": int}`` rows, root = the component's
+    minimum id — identical to ``connected_components`` union-find.
+    Ids are zero-padded in the label space so string-min equals
+    numeric min."""
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column(id_a).to_pylist()
+        b = batch.column(id_b).to_pylist()
+        return pa.table({
+            "a": pa.array([f"{x:020d}" for x in a], pa.string()),
+            "b": pa.array([f"{x:020d}" for x in b], pa.string()),
+            "type": pa.array(["cc"] * len(a), pa.string())})
+
+    from .canonicalize import propagate_components
+    rows = propagate_components(
+        pairs.map_batches(to_edges, batch_format="pyarrow"))
+    return [{"id": int(r["node"].split("|", 1)[0]),
+             "root": int(r["label"].split("|", 1)[0])} for r in rows]
+
+
 def connected_components(pairs_rows: list[tuple]) -> dict:
-    """Driver-side union-find over near-dup pairs (the pair list is
-    small relative to the corpus). → {id: cluster_representative}."""
+    """Driver-side union-find over near-dup pairs (small pair lists;
+    ``connected_components_ds`` is the distributed scale path).
+    → {id: cluster_representative}."""
     parent: dict = {}
 
     def find(x):
