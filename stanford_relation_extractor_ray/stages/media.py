@@ -91,6 +91,189 @@ def extract_media(documents):
 
 
 # --------------------------------------------------------------------------
+# real pure-stdlib codecs: PNG / BMP / PNM / WAV / JPEG headers, plus
+# full pixel decode for PNG (8-bit, non-interlaced), BMP (24-bit
+# uncompressed) and PNM — no external libraries required, so REAL
+# media bytes decode end-to-end in this container
+# --------------------------------------------------------------------------
+
+def sniff_format(payload: bytes) -> str | None:
+    """Magic-byte container sniffing; None = unknown format."""
+    if payload[:4] == _MAGIC:
+        return "synthetic"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:2] in (b"P5", b"P6"):
+        return "pnm"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
+    return None
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_image_meta(payload: bytes, fmt: str) -> tuple[int, int, int]:
+    """(width, height, channels) from real image headers."""
+    if fmt == "png":
+        w = int.from_bytes(payload[16:20], "big")
+        h = int.from_bytes(payload[20:24], "big")
+        return w, h, _PNG_CHANNELS[payload[25]]
+    if fmt == "bmp":
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = abs(int.from_bytes(payload[22:26], "little", signed=True))
+        bpp = int.from_bytes(payload[28:30], "little")
+        return w, h, max(1, bpp // 8)
+    if fmt == "pnm":
+        toks = _pnm_header_tokens(payload)
+        return int(toks[1]), int(toks[2]), 3 if toks[0] == "P6" else 1
+    if fmt == "jpeg":
+        i = 2
+        while i + 9 < len(payload):
+            if payload[i] != 0xFF:
+                i += 1
+                continue
+            marker = payload[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3):      # SOF0-3
+                h = int.from_bytes(payload[i + 5:i + 7], "big")
+                w = int.from_bytes(payload[i + 7:i + 9], "big")
+                return w, h, payload[i + 9]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            i += 2 + int.from_bytes(payload[i + 2:i + 4], "big")
+        raise ValueError("no JPEG SOF marker")
+    raise ValueError(f"not an image format: {fmt}")
+
+
+def decode_wav_meta(payload: bytes) -> tuple[int, float]:
+    """(sample_rate, duration_s) from a RIFF/WAVE container."""
+    pos = 12
+    rate, byte_rate, data_len = 0, 0, 0
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        clen = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        if cid == b"fmt ":
+            rate = int.from_bytes(payload[pos + 12:pos + 16], "little")
+            byte_rate = int.from_bytes(payload[pos + 16:pos + 20],
+                                       "little")
+        elif cid == b"data":
+            data_len = clen
+        pos += 8 + clen + (clen & 1)
+    if not rate or not byte_rate:
+        raise ValueError("no WAVE fmt chunk")
+    return rate, data_len / byte_rate
+
+
+def _pnm_header_tokens(payload: bytes) -> list[str]:
+    """First 4 whitespace-separated header tokens (comments skipped)."""
+    toks: list[str] = []
+    i = 0
+    while len(toks) < 4 and i < len(payload):
+        while i < len(payload) and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j:j + 1].isspace():
+            j += 1
+        toks.append(payload[i:j].decode("ascii"))
+        i = j
+    return toks
+
+
+def decode_image_pixels(payload: bytes) -> np.ndarray:
+    """Full pixel decode → uint8 array [h, w, channels].
+
+    Real formats covered: PNG (8-bit gray/RGB/RGBA, non-interlaced;
+    zlib inflate + per-row unfilter), BMP (24-bit uncompressed,
+    bottom-up or top-down), PNM P5/P6 (binary).
+    """
+    fmt = sniff_format(payload)
+    if fmt == "pnm":
+        toks = _pnm_header_tokens(payload)
+        w, h = int(toks[1]), int(toks[2])
+        ch = 3 if toks[0] == "P6" else 1
+        # pixel data begins one whitespace byte after the maxval token
+        idx = payload.index(toks[3].encode())
+        start = idx + len(toks[3]) + 1
+        arr = np.frombuffer(payload, np.uint8, count=w * h * ch,
+                            offset=start)
+        return arr.reshape(h, w, ch)
+    if fmt == "bmp":
+        w, h, ch = decode_image_meta(payload, "bmp")
+        if ch != 3:
+            raise NotImplementedError("only 24-bit BMP")
+        off = int.from_bytes(payload[10:14], "little")
+        stride = (w * 3 + 3) & ~3
+        raw_h = int.from_bytes(payload[22:26], "little", signed=True)
+        rows = np.frombuffer(payload, np.uint8, count=stride * h,
+                             offset=off).reshape(h, stride)
+        px = rows[:, :w * 3].reshape(h, w, 3)[:, :, ::-1]   # BGR→RGB
+        return px[::-1] if raw_h > 0 else px    # bottom-up storage
+    if fmt == "png":
+        import zlib as _z
+        w, h, ch = decode_image_meta(payload, "png")
+        if payload[24] != 8 or payload[28] != 0:
+            raise NotImplementedError(
+                "only 8-bit non-interlaced PNG")
+        idat = b""
+        pos = 8
+        while pos + 8 <= len(payload):
+            clen = int.from_bytes(payload[pos:pos + 4], "big")
+            ctype = payload[pos + 4:pos + 8]
+            if ctype == b"IDAT":
+                idat += payload[pos + 8:pos + 8 + clen]
+            pos += 12 + clen
+        raw = _z.decompress(idat)
+        stride = w * ch
+        out = np.empty((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(h):
+            f = raw[y * (stride + 1)]
+            line = np.frombuffer(
+                raw, np.uint8, count=stride,
+                offset=y * (stride + 1) + 1).astype(np.int32)
+            if f == 0:
+                cur = line
+            elif f == 2:                           # Up
+                cur = (line + prev) % 256
+            else:                                  # Sub/Average/Paeth
+                cur = np.empty(stride, dtype=np.int32)
+                for x in range(stride):
+                    a = cur[x - ch] if x >= ch else 0
+                    b = int(prev[x])
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    if f == 1:
+                        pred = a
+                    elif f == 3:
+                        pred = (a + b) // 2
+                    else:                          # Paeth
+                        p = a + b - c
+                        pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if pa_ <= pb and pa_ <= pc \
+                            else (b if pb <= pc else c)
+                    cur[x] = (line[x] + pred) % 256
+            out[y] = cur.astype(np.uint8)
+            prev = out[y]
+        return out.reshape(h, w, ch)
+    raise NotImplementedError(f"no pixel decoder for {fmt}")
+
+
+def encode_ppm(px: np.ndarray) -> bytes:
+    """uint8 [h, w, 3|1] → binary PNM payload (thumbnail output)."""
+    h, w, ch = px.shape
+    magic = b"P6" if ch == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+# --------------------------------------------------------------------------
 # decode: payload → typed metadata (actor pool; codec = per-actor state)
 # --------------------------------------------------------------------------
 
@@ -126,14 +309,23 @@ class MediaDecoder:
             self._pil = False
 
     def _decode(self, kind: str, payload: bytes):
-        if payload[:4] != _MAGIC:
-            # a real payload reached the stub — the real-codec seam
-            raise NotImplementedError(
-                "non-synthetic media payload; plug a real codec into "
-                "MediaDecoder._decode")
-        hdr = payload[4:16]
+        fmt = sniff_format(payload)
         w = h = ch = rows = cols = 0
         rate, dur = 0, 0.0
+        if fmt in ("png", "bmp", "pnm", "jpeg"):
+            # REAL image bytes: pure-stdlib header decode
+            w, h, ch = decode_image_meta(payload, fmt)
+            return w, h, ch, rate, dur, rows, cols
+        if fmt == "wav":
+            rate, dur = decode_wav_meta(payload)
+            return w, h, ch, rate, dur, rows, cols
+        if fmt is None:
+            # an unrecognized real payload — the exotic-codec seam
+            raise NotImplementedError(
+                "unrecognized media container; plug a codec into "
+                "MediaDecoder._decode (PNG/BMP/PNM/JPEG/WAV decode "
+                "natively)")
+        hdr = payload[4:16]
         if kind == "image":
             w, h, ch = _fake_decode_image(hdr)
         elif kind == "audio":
@@ -170,9 +362,11 @@ def decode(media_items, *, concurrency=None, batch_size: int = 64):
 # --------------------------------------------------------------------------
 
 class ImageResizer:
-    """Deterministic stand-in for a thumbnailer: emits a payload whose
-    length tracks the target area and metadata updated to the target
-    box (aspect-preserving fit), which is the real contract."""
+    """Thumbnailer: decodable real images (PNG/BMP/PNM pixel decoders
+    above) are ACTUALLY downsampled (nearest-neighbor) and re-encoded
+    as binary PNM; synthetic payloads keep the deterministic stand-in
+    (a payload whose length tracks the target area). Metadata updates
+    to the aspect-preserving fit box either way."""
 
     def __init__(self, max_side: int = 256):
         self.max_side = max_side
@@ -184,15 +378,28 @@ class ImageResizer:
         w = imgs.column("width").to_pylist()
         h = imgs.column("height").to_pylist()
         refs = imgs.column("media_ref").to_pylist()
+        payloads = imgs.column("payload").to_pylist()
         new_w, new_h, thumbs = [], [], []
-        for wi, hi, ref in zip(w, h, refs):
+        for wi, hi, ref, payload in zip(w, h, refs, payloads):
             scale = min(1.0, self.max_side / max(wi, hi))
             nw, nh = max(1, int(wi * scale)), max(1, int(hi * scale))
             new_w.append(nw)
             new_h.append(nh)
-            raw = hashlib.blake2b(f"{ref}|{nw}x{nh}".encode(),
-                                  digest_size=32).digest()
-            thumbs.append(raw * max(1, (nw * nh) // 2048))
+            fmt = sniff_format(payload)
+            if fmt in ("png", "bmp", "pnm"):
+                px = decode_image_pixels(payload)
+                if px.shape[2] == 4:          # drop alpha for PNM
+                    px = px[:, :, :3]
+                elif px.shape[2] == 2:
+                    px = px[:, :, :1]
+                ys = (np.arange(nh) * (hi / nh)).astype(np.int64)
+                xs = (np.arange(nw) * (wi / nw)).astype(np.int64)
+                thumbs.append(encode_ppm(
+                    np.ascontiguousarray(px[ys][:, xs])))
+            else:
+                raw = hashlib.blake2b(f"{ref}|{nw}x{nh}".encode(),
+                                      digest_size=32).digest()
+                thumbs.append(raw * max(1, (nw * nh) // 2048))
         out = imgs.drop_columns(["payload", "width", "height"])
         out = out.append_column("width", pa.array(new_w, pa.int32()))
         out = out.append_column("height", pa.array(new_h, pa.int32()))

@@ -96,3 +96,147 @@ def test_media_features_unit_norm(media_items):
         assert v.shape == (32,)
         assert abs(np.linalg.norm(v) - 1.0) < 1e-5
     assert "payload" not in feats.schema().names
+
+
+# ---- real pure-stdlib codecs: constructed PNG/BMP/PNM/WAV/JPEG bytes
+# decode without any external imaging library ------------------------
+
+import struct
+import zlib as _zlib
+
+import numpy as np
+
+
+def _make_png(px):
+    h, w, ch = px.shape
+    ct = {1: 0, 3: 2, 4: 6}[ch]
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", _zlib.crc32(tag + data)))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def _make_bmp(px):
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    rows = b""
+    for y in range(h - 1, -1, -1):            # bottom-up
+        row = px[y, :, ::-1].tobytes()
+        rows += row + b"\x00" * (stride - len(row))
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(rows), 2835, 2835, 0, 0))
+    return header + rows
+
+
+def _make_wav(rate=16000, seconds=2.0, channels=1):
+    n = int(rate * seconds)
+    data = b"\x00\x00" * n * channels
+    block = 2 * channels
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block,
+                      block, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def _px(h, w):
+    rng = np.random.default_rng(7)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_real_codec_metadata():
+    from stanford_relation_extractor_ray.stages.media import MediaDecoder
+    d = MediaDecoder()
+    px = _px(5, 9)
+    assert d._decode("image", _make_png(px))[:3] == (9, 5, 3)
+    assert d._decode("image", _make_bmp(px))[:3] == (9, 5, 3)
+    ppm = b"P6\n9 5\n255\n" + px.tobytes()
+    assert d._decode("image", ppm)[:3] == (9, 5, 3)
+    rate, dur = d._decode("audio", _make_wav(16000, 2.0))[3:5]
+    assert rate == 16000 and abs(dur - 2.0) < 1e-6
+
+
+def test_real_pixel_decode_roundtrip():
+    from stanford_relation_extractor_ray.stages.media import \
+        decode_image_pixels
+    px = _px(6, 4)
+    assert np.array_equal(decode_image_pixels(_make_png(px)), px)
+    assert np.array_equal(decode_image_pixels(_make_bmp(px)), px)
+    ppm = b"P6\n4 6\n255\n" + px.tobytes()
+    assert np.array_equal(decode_image_pixels(ppm), px)
+
+
+def test_png_filtered_rows_decode():
+    """PNG rows using Sub/Up/Average/Paeth filters unfilter exactly."""
+    from stanford_relation_extractor_ray.stages.media import \
+        decode_image_pixels
+    px = _px(4, 4)
+    h, w, ch = px.shape
+    rows = []
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y, f in zip(range(h), (1, 2, 3, 4)):
+        cur = px[y].reshape(-1).astype(np.int32)
+        enc = np.empty_like(cur)
+        for x in range(len(cur)):
+            a = int(cur[x - ch]) if x >= ch else 0
+            b = int(prev[x])
+            c = int(prev[x - ch]) if x >= ch else 0
+            if f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa_ <= pb and pa_ <= pc else \
+                    (b if pb <= pc else c)
+            enc[x] = (cur[x] - pred) % 256
+        rows.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", _zlib.crc32(tag + data)))
+    payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", _zlib.compress(b"".join(rows)))
+               + chunk(b"IEND", b""))
+    assert np.array_equal(decode_image_pixels(payload), px)
+
+
+def test_real_resize_real_pixels(ray_session):
+    """A real PNG flows through decode → resize: the thumbnail payload
+    is a real PNM holding actually-downsampled pixels."""
+    import ray.data as rd
+    from stanford_relation_extractor_ray.stages.media import (
+        ImageResizer, MediaDecoder, decode_image_pixels)
+    px = _px(40, 100)
+    items = rd.from_items([{
+        "doc_id": "d1", "span_seq": 0, "kind": "image",
+        "media_ref": "media://real/1.png",
+        "payload": _make_png(px)}])
+    decoded = items.map_batches(MediaDecoder, batch_format="pyarrow",
+                                concurrency=1)
+    out = decoded.map_batches(ImageResizer,
+                              fn_constructor_kwargs={"max_side": 50},
+                              batch_format="pyarrow",
+                              concurrency=1).take_all()
+    assert out[0]["width"] == 50 and out[0]["height"] == 20
+    thumb = decode_image_pixels(out[0]["payload"])
+    assert thumb.shape == (20, 50, 3)
+    ys = (np.arange(20) * 2).astype(int)
+    xs = (np.arange(50) * 2).astype(int)
+    assert np.array_equal(thumb, px[ys][:, xs])
+
+
+def test_unknown_container_is_the_seam():
+    import pytest
+    from stanford_relation_extractor_ray.stages.media import MediaDecoder
+    with pytest.raises(NotImplementedError):
+        MediaDecoder()._decode("image", b"\x00unknown-bytes")
