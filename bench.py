@@ -112,8 +112,9 @@ def main():
         qs = E.queries()
         for name in ("pricing_summary", "revenue_by_nation",
                      "hourly_event_value", "dedup_exact",
-                     "dedup_minhash_lsh", "dedup_simhash",
-                     "similarity_topk", "text_quality", "text_tokens"):
+                     "dedup_minhash_lsh", "dedup_components",
+                     "dedup_simhash", "similarity_topk",
+                     "text_quality", "text_tokens"):
             t0 = time.time()
             res = qs[name](SF_DIR)
             if hasattr(res, "count"):
