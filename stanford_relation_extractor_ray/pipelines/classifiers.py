@@ -245,7 +245,55 @@ class NoopModel:
         return {}
 
 
+class SupervisedModel:
+    """Softmax LR trained on ANNOTATED sentence datums — the
+    ``ModelType.SUPERVISED`` extractor (``SupervisedExtractor``;
+    ``ModelType.java:45``), distinct from every distant-supervision
+    model in this zoo: its labels come per sentence from an annotated
+    corpus (``pipelines.train.annotated_examples``), not from a KB
+    join. ``classify_bag`` scores each sentence and noisy-ors the
+    confident per-sentence argmax relations."""
+
+    def __init__(self, W: np.ndarray, b: np.ndarray,
+                 labels: list[str]):
+        self.W, self.b, self.labels = W, b, labels
+
+    def classify_bag(self, sent_features: list[list[str]]) -> dict:
+        om: dict[str, float] = {}
+        for feats in sent_features:
+            idx = hash_features(feats)
+            logits = self.b + (self.W[idx].sum(axis=0) if len(idx)
+                               else 0.0)
+            logits = logits - logits.max()
+            p = np.exp(logits)
+            p /= p.sum()
+            zi = int(p.argmax())
+            lab = self.labels[zi]
+            if lab == NO_RELATION or p[zi] < 0.5:
+                continue
+            om[lab] = om.get(lab, 1.0) * (1.0 - float(p[zi]))
+        return {rel: 1.0 - v for rel, v in om.items()}
+
+
+def train_supervised(datums: list[dict], *, epochs: int = 8,
+                     seed: int = 42) -> SupervisedModel:
+    """``datums``: annotated sentence examples
+    ``{"features": [...], "label": relation-or-no_relation}`` (NOT
+    bags — the SUPERVISED input type)."""
+    from ..vocab import RELATION_NAMES
+    from .train import _sgd_lr
+    labels = [NO_RELATION] + RELATION_NAMES
+    lab_idx = {l: i for i, l in enumerate(labels)}
+    feats = [[int(h) for h in hash_features(d["features"])]
+             for d in datums]
+    ys = np.array([lab_idx[d["label"]] for d in datums],
+                  dtype=np.int64)
+    W, b = _sgd_lr(feats, ys, len(labels), seed)
+    return SupervisedModel(W, b, labels)
+
+
 MODEL_REGISTRY = {
+    "SUPERVISED": lambda datums, **kw: train_supervised(datums, **kw),
     "PERCEPTRON": train_perceptron,
     "AT_LEAST_ONCE": train_hoffmann,
     "LR_INC": lambda bags, **kw: train_one_vs_all(bags, robust=False,

@@ -173,6 +173,60 @@ def train_model_ref(n_docs: int = 1500, seed: int = 42):
     return ray.put(train_lr(n_docs, seed))
 
 
+def annotated_examples(n_docs: int, seed: int = 42):
+    """Annotated-DATUM stream — the ``ModelType.SUPERVISED`` input
+    path (``SupervisedExtractor`` consumes sentence-level annotated
+    labels from ``Props.TRAIN_ANNOTATED_SENTENCES_DATA``, NOT distant
+    supervision). Here the corpus's per-sentence gold assertions play
+    the annotated-sentences file: each candidate is labeled by exact
+    ``(doc_id, sent_idx, subj, obj)`` gold match; unmatched candidates
+    become subsampled negatives. At real scale the annotations arrive
+    as a table and this broadcast index becomes a coarse-pid join
+    (the ``attach_gloss`` shape)."""
+    import ray.data as rd
+
+    from ..corpus import _docs_batch, doc_plan
+
+    world = get_world(seed)
+    gold: dict[tuple, str] = {}
+    for d in range(n_docs):
+        did = d + TRAIN_DOC_OFFSET
+        _spans, g = doc_plan(did, world)
+        for r in g:
+            gold[(f"d{did:09d}", r["sent_idx"], r["subj"],
+                  r["obj"])] = r["pred"]
+
+    def label(batch: pa.Table) -> pa.Table:
+        subj = batch.column("subj").to_pylist()
+        obj = batch.column("obj").to_pylist()
+        docs = batch.column("doc_id").to_pylist()
+        sents = batch.column("sent_idx").to_pylist()
+        feats = batch.column("features").to_pylist()
+        out_f, out_y = [], []
+        for s, o, d, si, f in zip(subj, obj, docs, sents, feats):
+            y = gold.get((d, si, s, o))
+            if y is None:
+                h = zlib.crc32(f"{d}|{si}|{s}|{o}".encode()) % 1000
+                if h >= NEG_SUBSAMPLE * 1000:
+                    continue
+                y = NO_RELATION
+            out_f.append(f)
+            out_y.append(y)
+        return pa.table({
+            "features": pa.array(out_f, pa.list_(pa.string())),
+            "label": pa.array(out_y, pa.string())})
+
+    docs = (rd.range(n_docs)
+            .map_batches(lambda b: {"id": b["id"] + TRAIN_DOC_OFFSET},
+                         batch_format="numpy")
+            .map_batches(lambda b: _docs_batch(b, seed),
+                         batch_format="numpy", batch_size=2048))
+    sents = nlp.annotate(docs, seed=seed)
+    cands = link.link(mentions.pair(sents), seed=seed)
+    feats = featurize.featurize(cands)
+    return feats.map_batches(label, batch_format="pyarrow")
+
+
 def _sgd_lr(feats: list[list[int]], ys: np.ndarray, n_lab: int,
             seed: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)

@@ -176,3 +176,22 @@ def test_gibbs_engine_wired_into_enforce(ray_session):
              for r in enforce(ds2, objective="SUM",
                               mixing_time=20).take_all()}
     assert gibbs == {"per:siblings", "per:parents"}
+
+
+def test_supervised_annotated_datum_path(ray_session):
+    """ModelType.SUPERVISED: trains on sentence-level ANNOTATED labels
+    (pipelines.train.annotated_examples), not distant supervision, and
+    classifies held-out sentence features."""
+    from stanford_relation_extractor_ray.pipelines.classifiers import \
+        train_model
+    from stanford_relation_extractor_ray.pipelines.train import \
+        annotated_examples
+    datums = annotated_examples(150).take_all()
+    labeled = [d for d in datums if d["label"] != "no_relation"]
+    assert labeled, "no annotated positives in the train range"
+    model = train_model("SUPERVISED", datums)
+    hits = sum(
+        1 for d in labeled[:50]
+        if model.classify_bag([d["features"]]).get(d["label"], 0) > 0.5)
+    assert hits >= 0.7 * min(50, len(labeled))   # fits its own datums
+    assert model.classify_bag([["between:zzz-nonsense"]]) == {}
