@@ -84,8 +84,8 @@ def provenance_sentences(fills_mat, seed: int = 42):
 
     from ..corpus import _docs_batch
 
-    doc_ids = {r["doc_id"] for r in
-               fills_mat.select_columns(["doc_id"]).take_all()}
+    doc_ids = set(
+        fills_mat.select_columns(["doc_id"]).to_pandas()["doc_id"])
     # only exact generator-format ids (d%09d): anything else (e.g. a
     # virtual-IR TSV's own ids) must NOT be "recovered" from the
     # generator — the join would attach a wrong document's gloss
@@ -158,8 +158,11 @@ def _postprocess_driver_side(consistent_mat, seed: int,
     from ..stages.worldknowledge import get_geography
     from ..world import get_world
 
-    rows = consistent_mat.take_all()
-    if not rows:
+    # columnar collection: Ray's per-row take_all on pandas blocks
+    # costs ~7 ms/row (profiled 37 s on a 5.6k-fill table) — to_pandas
+    # is a vectorized block concat
+    df = consistent_mat.to_pandas()
+    if len(df) == 0:
         return consistent_mat
     world = get_world(seed)
     sent_cache: dict[int, list[str]] = {}
@@ -173,16 +176,19 @@ def _postprocess_driver_side(consistent_mat, seed: int,
         return hit
 
     glosses = []
-    for r in rows:
-        m = re.fullmatch(r"d(\d{9})", r["doc_id"])
+    for d, si in zip(df["doc_id"], df["sent_idx"]):
+        m = re.fullmatch(r"d(\d{9})", d)
         gloss = ""
         if m is not None:
             sents = sentences_of(int(m.group(1)))
-            si = r["sent_idx"]
             if 0 <= si < len(sents):
                 gloss = sents[si]
         glosses.append(gloss)
-    batch = pa.Table.from_pylist(rows, schema=FILLS_SCHEMA) \
+    batch = pa.Table.from_arrays(
+        [pa.array([v.tolist() if hasattr(v, "tolist") else v
+                   for v in df[name]], typ)
+         for name, typ in zip(FILLS_SCHEMA.names, FILLS_SCHEMA.types)],
+        schema=FILLS_SCHEMA) \
         .append_column("gloss", pa.array(glosses, pa.string()))
     out = unary_chain(batch, known=known, geo=get_geography()) \
         .drop_columns(["gloss"])

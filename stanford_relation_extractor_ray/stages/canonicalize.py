@@ -215,7 +215,8 @@ def propagate_components(pairs, *, max_iter: int = 50) -> list[dict]:
         if not changed:
             break
 
-    return labels.take_all()
+    # columnar collect — take_all on pandas blocks is per-row-priced
+    return labels.to_pandas().to_dict("records")
 
 
 # surfaces-table size below which blocking + pairwise linking +
@@ -239,11 +240,11 @@ def canonical_map(fills) -> tuple[dict, dict]:
     Both paths produce identical clusters (pinned by
     tests/test_canonicalize_scale.py).
     """
-    surface_rows = _surface_table(fills).take_all()
-    weights = {(r["name"], r["type"]): r["weight"]
-               for r in surface_rows}
+    sdf = _surface_table(fills).to_pandas()     # columnar collect
+    weights = dict(zip(zip(sdf["name"], sdf["type"]), sdf["weight"]))
+    n_surfaces = len(sdf)
 
-    if len(surface_rows) <= SMALL_SURFACES:
+    if n_surfaces <= SMALL_SURFACES:
         by_block: dict[str, list[tuple[str, str]]] = {}
         for (n, t) in weights:
             for blk in _blocks_of(n):

@@ -543,7 +543,9 @@ def repair_provenance(fills, sentences, *, aliases=None):
         return not (any(s in gloss for s in surfaces_of(row["subj"]))
                     and row["obj"] in gloss)
 
-    weak = [r for r in glossed.take_all() if is_weak(r)]
+    weak = [r for r in glossed.to_pandas().to_dict("records")
+            if is_weak(r)]          # columnar collect (take_all on
+    # non-arrow blocks pays per-row pandas indexing)
     out = glossed.drop_columns(["gloss"])
     if not weak:
         return out
