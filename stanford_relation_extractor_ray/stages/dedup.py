@@ -473,6 +473,9 @@ def jaccard_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
         block_pairs, batch_format="pyarrow")
 
 
+SMALL_CC_PAIRS = 100_000
+
+
 def connected_components_ds(pairs, *, id_a: str = "id_a",
                             id_b: str = "id_b"):
     """Distributed connected components over a near-dup pair Dataset —
@@ -483,7 +486,17 @@ def connected_components_ds(pairs, *, id_a: str = "id_a",
     of ``{"id": int, "root": int}`` rows, root = the component's
     minimum id — identical to ``connected_components`` union-find.
     Ids are zero-padded in the label space so string-min equals
-    numeric min."""
+    numeric min. Below ``SMALL_CC_PAIRS`` the identical union-find
+    runs driver-side instead (the propagation loop costs a handful of
+    fixed-latency Ray executions — the canonicalize gate pattern)."""
+    pairs = pairs.materialize()
+    if pairs.count() <= SMALL_CC_PAIRS:
+        df = pairs.to_pandas()
+        cmap = connected_components(
+            list(zip(df[id_a].astype(int), df[id_b].astype(int))))
+        return [{"id": int(k), "root": int(v)}
+                for k, v in sorted(cmap.items())]
+
     def to_edges(batch: pa.Table) -> pa.Table:
         a = batch.column(id_a).to_pylist()
         b = batch.column(id_b).to_pylist()
@@ -511,13 +524,16 @@ def connected_components(pairs_rows: list[tuple]) -> dict:
             x = parent[x]
         return x
 
+    nodes = set()
     for a, b in sorted(pairs_rows):
+        nodes.add(a)
+        nodes.add(b)
         ra, rb = find(a), find(b)
         if ra != rb:
             if rb < ra:
                 ra, rb = rb, ra
             parent[rb] = ra
-    return {x: find(x) for x in parent}
+    return {x: find(x) for x in nodes}
 
 
 def embedding_dup_pairs(ds, *, vec_col: str = "embedding",

@@ -64,3 +64,21 @@ def test_propagate_components_multi_hop(ray_session):
                                    "D|PERSON")}) == 1
     assert len({roots["X|PERSON"], roots["Y|PERSON"]}) == 1
     assert roots["A|PERSON"] != roots["X|PERSON"]
+
+
+def test_cc_ds_gate_paths_equal(ray_session, monkeypatch):
+    """connected_components_ds: driver union-find (small gate) ==
+    min-label propagation (scale path)."""
+    import ray.data as rd
+    from stanford_relation_extractor_ray.stages import dedup as D
+    pairs = rd.from_items([
+        {"id_a": 1, "id_b": 2}, {"id_a": 2, "id_b": 30},
+        {"id_a": 400, "id_b": 5}, {"id_a": 9, "id_b": 10},
+    ])
+    small = D.connected_components_ds(pairs)
+    monkeypatch.setattr(D, "SMALL_CC_PAIRS", 0)
+    large = D.connected_components_ds(pairs)
+    assert sorted(small, key=lambda r: r["id"]) == \
+        sorted(large, key=lambda r: r["id"])
+    roots = {r["id"]: r["root"] for r in small}
+    assert roots[30] == 1 and roots[400] == 5 and roots[10] == 9
