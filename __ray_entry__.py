@@ -305,6 +305,25 @@ def _q_text_langid(sf_dir: str):
             .select_columns(["doc_id", "pred_lang"]).sort("doc_id"))
 
 
+def _q_events_asof_order(sf_dir: str):
+    from stanford_relation_extractor_ray.pipelines.temporal import \
+        events_asof_order
+    return events_asof_order(sf_dir)
+
+
+def _q_purchase_attribution(sf_dir: str):
+    from stanford_relation_extractor_ray.pipelines.temporal import \
+        purchase_attribution
+    return _cents(purchase_attribution(sf_dir),
+                  [("sum_touch_value", 100)])
+
+
+def _q_event_sessions(sf_dir: str):
+    from stanford_relation_extractor_ray.pipelines.temporal import \
+        event_sessions
+    return _cents(event_sessions(sf_dir), [("sum_value", 100)])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from stanford_relation_extractor_ray.pipelines import relational as R
     return {
@@ -325,6 +344,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_name_distances": R.nation_name_distances,
         "orders_per_year": R.orders_per_year,
         "high_value_repeat_customers": R.high_value_repeat_customers,
+        # temporal joins / windows (SURVEY.md §2.11 custom operators)
+        "events_asof_order": _q_events_asof_order,
+        "purchase_attribution": _q_purchase_attribution,
+        "event_sessions": _q_event_sessions,
         # dedup suite
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -447,6 +470,59 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY o_custkey HAVING COUNT(*) >= 15)
               AND c_acctbal > 0.0
             ORDER BY c_custkey
+        """,
+        "events_asof_order": """
+            SELECT event_id, user_id, ts, asof_orderkey,
+                   asof_orderdate
+            FROM (
+                SELECT e.event_id, e.user_id, e.ts,
+                       o.o_orderkey AS asof_orderkey,
+                       strftime(o.o_orderdate, '%Y-%m-%d')
+                           AS asof_orderdate,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.event_id
+                           ORDER BY o.o_orderdate DESC,
+                                    o.o_orderkey DESC) rn
+                FROM events e JOIN orders o
+                  ON o.o_custkey = e.user_id
+                 AND o.o_orderdate <= e.ts)
+            WHERE rn = 1 ORDER BY event_id
+        """,
+        "purchase_attribution": """
+            SELECT p.event_id AS purchase_id,
+                   COUNT(*) AS n_touches,
+                   CAST(ROUND(SUM(t.value) * 100, 0) AS BIGINT)
+                       AS sum_touch_value
+            FROM events p JOIN events t ON t.user_id = p.user_id
+             AND p.event_type = 'purchase'
+             AND t.event_type IN ('click', 'view')
+             AND t.ts >= p.ts - INTERVAL 60 MINUTE AND t.ts < p.ts
+            GROUP BY p.event_id ORDER BY purchase_id
+        """,
+        "event_sessions": """
+            WITH flagged AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w
+                                 > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts, event_id)
+            ), numbered AS (
+                SELECT user_id, ts, value,
+                       CAST(SUM(brk) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                           AS session_id
+                FROM flagged)
+            SELECT user_id, session_id,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   COUNT(*) AS n_events,
+                   CAST(ROUND(SUM(value) * 100, 0) AS BIGINT)
+                       AS sum_value
+            FROM numbered GROUP BY user_id, session_id
+            ORDER BY user_id, session_id
         """,
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id, text
