@@ -324,6 +324,33 @@ def _q_event_sessions(sf_dir: str):
     return _cents(event_sessions(sf_dir), [("sum_value", 100)])
 
 
+def _q_rolling_user_value(sf_dir: str):
+    from stanford_relation_extractor_ray.pipelines.temporal import \
+        rolling_user_value
+    return rolling_user_value(sf_dir)
+
+
+def _q_approx_distinct_users(sf_dir: str):
+    import ray.data as rd
+    from stanford_relation_extractor_ray.stages.sketches import \
+        hll_distinct
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return (hll_distinct(ds, "event_type", "user_id")
+            .map_batches(lambda t: t.rename_columns(
+                ["event_type", "approx_distinct"]),
+                batch_format="pyarrow"))
+
+
+def _q_heavy_hitter_tokens(sf_dir: str):
+    import ray.data as rd
+    from stanford_relation_extractor_ray.stages.sketches import \
+        phi_heavy_hitters
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text"])
+    return phi_heavy_hitters(ds, "text", phi=1 / 32)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from stanford_relation_extractor_ray.pipelines import relational as R
     return {
@@ -348,6 +375,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_order": _q_events_asof_order,
         "purchase_attribution": _q_purchase_attribution,
         "event_sessions": _q_event_sessions,
+        "rolling_user_value": _q_rolling_user_value,
+        # sketch operators (stages/sketches.py)
+        "approx_distinct_users": _q_approx_distinct_users,
+        "heavy_hitter_tokens": _q_heavy_hitter_tokens,
         # dedup suite
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -524,6 +555,26 @@ def oracle_sql() -> dict[str, str]:
             FROM numbered GROUP BY user_id, session_id
             ORDER BY user_id, session_id
         """,
+        "rolling_user_value": """
+            SELECT event_id, user_id,
+                   COUNT(*) OVER win AS w_count,
+                   CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                       OVER win AS BIGINT) AS w_sum_cents
+            FROM events
+            WINDOW win AS (PARTITION BY user_id ORDER BY ts
+                           RANGE BETWEEN INTERVAL 60 MINUTE PRECEDING
+                                     AND CURRENT ROW)
+            ORDER BY event_id
+        """,
+        "heavy_hitter_tokens": """
+            WITH t AS (
+                SELECT UNNEST(string_split(text, ' ')) AS token
+                FROM documents
+            ), t2 AS (SELECT token FROM t WHERE token <> '')
+            SELECT token, COUNT(*) AS cnt FROM t2 GROUP BY token
+            HAVING COUNT(*) >= CEIL((SELECT COUNT(*) FROM t2) / 32.0)
+            ORDER BY cnt DESC, token
+        """,
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id, text
             FROM documents GROUP BY text ORDER BY doc_id
@@ -661,6 +712,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, hamming FROM read_csv(
                 '{_GOLDEN}/dedup_simhash_sf0_01.csv', header=true)
             ORDER BY id_a, id_b
+        """,
+        "approx_distinct_users": f"""
+            SELECT event_type, approx_distinct FROM read_csv(
+                '{_GOLDEN}/approx_distinct_users_sf0_01.csv',
+                header=true)
+            ORDER BY event_type
         """,
         "similarity_ivf": f"""
             SELECT vec_id, cosine FROM read_csv(

@@ -114,7 +114,8 @@ def main():
                      "hourly_event_value", "dedup_exact",
                      "dedup_minhash_lsh", "dedup_components",
                      "dedup_simhash", "similarity_topk",
-                     "text_quality", "text_tokens"):
+                     "text_quality", "text_tokens",
+                     "events_asof_order", "event_sessions"):
             t0 = time.time()
             res = qs[name](SF_DIR)
             if hasattr(res, "count"):

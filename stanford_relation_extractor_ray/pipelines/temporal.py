@@ -199,6 +199,63 @@ def purchase_attribution(sf_dir: str, window_minutes: int = 60):
             .sort("purchase_id"))
 
 
+# --- sliding (RANGE) window aggregate ------------------------------------
+
+def rolling_user_value(sf_dir: str, window_minutes: int = 60):
+    """Per-event sliding-window aggregate: for each event, the count
+    and value-sum of the same user's events with ``ts`` in
+    ``[ts - window, ts]`` — SQL ``RANGE BETWEEN INTERVAL w PRECEDING
+    AND CURRENT ROW`` semantics, peers (equal ``ts``) included on
+    both sides regardless of row order.
+
+    Shape: the usual ``hash(user)`` co-partitioning shuffle, then an
+    exact windowed scan per user segment — two ``searchsorted`` calls
+    against the user's sorted timestamps plus prefix-sum differences.
+    Sums are integer cents (values are 2-decimal), so the window sum
+    is a set function of timestamps alone: no float-order ulp can
+    flip the output between partitionings (the round-2 lesson).
+    """
+    n_parts = _n_parts()
+    span = np.timedelta64(window_minutes * 60, "s")
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def add_pid(batch: pa.Table) -> pa.Table:
+        pid = (batch.column("user_id").to_numpy()
+               % n_parts).astype(np.int32)
+        return batch.append_column("pid", pa.array(pid))
+
+    def window(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        user = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy()
+        cents = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+        n = len(df)
+        w_count = np.empty(n, dtype=np.int64)
+        w_sum = np.empty(n, dtype=np.int64)
+        bounds = np.flatnonzero(np.r_[True, user[1:] != user[:-1]])
+        bounds = np.r_[bounds, n]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            seg_ts = ts[s:e]
+            csum = np.r_[0, np.cumsum(cents[s:e])]
+            lo = np.searchsorted(seg_ts, seg_ts - span, side="left")
+            hi = np.searchsorted(seg_ts, seg_ts, side="right")
+            w_count[s:e] = hi - lo
+            w_sum[s:e] = csum[hi] - csum[lo]
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "user_id": user,
+            "w_count": w_count,
+            "w_sum_cents": w_sum,
+        })
+
+    return (ds.map_batches(add_pid, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("pid")
+            .map_groups(window, batch_format="pandas")
+            .sort("event_id"))
+
+
 # --- gap-based session windows -------------------------------------------
 
 def event_sessions(sf_dir: str, gap_minutes: int = 30):
