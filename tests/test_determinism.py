@@ -25,9 +25,12 @@ ray.init(address="local", num_cpus=int(sys.argv[1]),
 from ray.data import DataContext
 DataContext.get_current().enable_progress_bars = False
 import __ray_entry__ as E
-res = E.queries()["kg_triples"]("/root/testdata/sf0.001")
-df = res.to_pandas() if hasattr(res, "to_pandas") else res
-sys.stdout.write(df.to_csv(index=False))
+for name in ("kg_triples", "events_asof_order", "event_sessions",
+             "rolling_user_value", "approx_distinct_users",
+             "heavy_hitter_tokens"):
+    res = E.queries()[name]("/root/testdata/sf0.001")
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    sys.stdout.write(f"== {name}\n" + df.to_csv(index=False))
 ray.shutdown()
 """
 
