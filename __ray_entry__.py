@@ -371,6 +371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_name_distances": R.nation_name_distances,
         "orders_per_year": R.orders_per_year,
         "high_value_repeat_customers": R.high_value_repeat_customers,
+        "event_prop_stats": R.event_prop_stats,
         # temporal joins / windows (SURVEY.md §2.11 custom operators)
         "events_asof_order": _q_events_asof_order,
         "purchase_attribution": _q_purchase_attribution,
@@ -565,6 +566,17 @@ def oracle_sql() -> dict[str, str]:
                            RANGE BETWEEN INTERVAL 60 MINUTE PRECEDING
                                      AND CURRENT ROW)
             ORDER BY event_id
+        """,
+        "event_prop_stats": """
+            WITH x AS (
+                SELECT event_type,
+                       CAST(json_extract_string(props, '$.k')
+                            AS BIGINT) AS k
+                FROM events)
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(k) AS BIGINT) AS sum_k,
+                   MIN(k) AS min_k, MAX(k) AS max_k
+            FROM x GROUP BY event_type ORDER BY event_type
         """,
         "heavy_hitter_tokens": """
             WITH t AS (

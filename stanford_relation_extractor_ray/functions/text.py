@@ -179,3 +179,26 @@ def timex_normalize(s: str) -> str | None:
     if day is None:
         return f"{year}-{month:02d}-XX"
     return f"{year}-{month:02d}-{day:02d}"
+
+
+_JSON_INT_RES: dict = {}
+
+
+def json_int_field(strings, field: str):
+    """Vectorized extraction of an integer field from a flat-JSON
+    string column: returns a pandas nullable-Int64 Series (null where
+    the field is absent or non-integer). Regex-based on purpose — a
+    per-row ``json.loads`` is a Python-loop anti-pattern in a
+    ``map_batches`` hot path, and the single-level key:number shape
+    covers event ``props`` payloads; nested documents should be
+    decoded once into typed columns at ingest instead."""
+    import re as _re
+
+    import pandas as pd
+    rx = _JSON_INT_RES.get(field)
+    if rx is None:
+        rx = _JSON_INT_RES[field] = _re.compile(
+            r'"' + _re.escape(field) + r'"\s*:\s*(-?\d+)\s*[,}]')
+    s = strings if isinstance(strings, pd.Series) \
+        else pd.Series(strings)
+    return s.str.extract(rx, expand=False).astype("Int64")

@@ -365,3 +365,39 @@ def high_value_repeat_customers(sf_dir: str, min_orders: int = 15,
             .map_batches(semi, batch_format="pyarrow")
             .select_columns(["c_custkey", "c_acctbal"])
             .sort("c_custkey"))
+
+
+def event_prop_stats(sf_dir: str):
+    """Per-type stats over an integer field extracted from the JSON
+    ``props`` column — the schema-on-read pattern: extract in the map
+    stage (vectorized regex, `functions.text.json_int_field`),
+    pre-aggregate per batch, then combine the tiny per-type partials.
+    The shuffle carries one row per (event_type, batch), never the
+    raw events."""
+    import pandas as pd
+
+    from ..functions.text import json_int_field
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = json_int_field(df["props"], "k")
+        g = (pd.DataFrame({"event_type": df["event_type"], "k": k})
+             .groupby("event_type", sort=True)["k"]
+             .agg(n="size", sum_k="sum", min_k="min", max_k="max")
+             .reset_index())
+        return g
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=True).agg(
+            n=("n", "sum"), sum_k=("sum_k", "sum"),
+            min_k=("min_k", "min"), max_k=("max_k", "max"),
+        ).reset_index()
+        for c in ("n", "sum_k", "min_k", "max_k"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    return (ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536)
+            .groupby("event_type")
+            .map_groups(combine, batch_format="pandas")
+            .sort("event_type"))

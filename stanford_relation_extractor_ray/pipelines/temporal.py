@@ -145,13 +145,16 @@ def purchase_attribution(sf_dir: str, window_minutes: int = 60):
     ``[purchase.ts - window, purchase.ts)``, aggregated per purchase
     (inner — purchases with zero in-window touches are dropped).
 
-    Shape: the equality key (user) bounds the blow-up, so the range
-    join is a co-partitioned equi-merge + vectorized interval mask —
-    never a cross join. One read of ``events`` feeds both sides; the
-    single ``hash(user)`` shuffle co-locates a user's purchases with
-    their touches, and per-purchase aggregates inside a partition are
+    Shape: one read of ``events`` feeds both sides; the single
+    ``hash(user)`` shuffle co-locates a user's purchases with their
+    touches, and per-purchase aggregates inside a partition are
     already final (partitions are disjoint in users — no second
-    shuffle)."""
+    shuffle). Within a user segment the window aggregate is two
+    ``searchsorted`` probes against the user's time-sorted touches
+    plus prefix-sum differences — O((p+t)·log t) per user, never the
+    p×t interval cross-merge, so a hot user (many purchases AND many
+    touches) costs linearithmic, not quadratic. Sums run over int64
+    cents, making them order-exact."""
     n_parts = _n_parts()
     ds = _read(sf_dir, "events",
                ["event_id", "user_id", "ts", "event_type", "value"])
@@ -167,30 +170,47 @@ def purchase_attribution(sf_dir: str, window_minutes: int = 60):
         return batch.append_column("pid", pa.array(pid))
 
     def window_agg(df: pd.DataFrame) -> pd.DataFrame:
-        p = df[df["event_type"] == "purchase"][
-            ["user_id", "event_id", "ts"]]
-        t = df[df["event_type"] != "purchase"][
-            ["user_id", "ts", "value"]]
-        if len(p) and len(t):
-            j = p.merge(t, on="user_id", suffixes=("", "_t"))
-            ts_t = j["ts_t"].to_numpy()
-            ts_p = j["ts"].to_numpy()
-            j = j[(ts_t >= ts_p - span) & (ts_t < ts_p)]
-        else:
-            j = p.iloc[:0].assign(value=0.0)
-        if len(j) == 0:
-            return pd.DataFrame({
-                "purchase_id": pd.Series(dtype="int64"),
-                "n_touches": pd.Series(dtype="int64"),
-                "sum_touch_value": pd.Series(dtype="float64"),
-            })
-        g = j.groupby("event_id", sort=True)["value"].agg(
-            ["count", "sum"]).reset_index()
-        return pd.DataFrame({
-            "purchase_id": g["event_id"].to_numpy().astype(np.int64),
-            "n_touches": g["count"].to_numpy().astype(np.int64),
-            "sum_touch_value": g["sum"].to_numpy(),
+        empty = pd.DataFrame({
+            "purchase_id": pd.Series(dtype="int64"),
+            "n_touches": pd.Series(dtype="int64"),
+            "sum_touch_value": pd.Series(dtype="float64"),
         })
+        p = df[df["event_type"] == "purchase"] \
+            .sort_values(["user_id", "ts"], kind="mergesort")
+        t = df[df["event_type"] != "purchase"] \
+            .sort_values(["user_id", "ts"], kind="mergesort")
+        if len(p) == 0 or len(t) == 0:
+            return empty
+        pu, pts = p["user_id"].to_numpy(), p["ts"].to_numpy()
+        tu, tts = t["user_id"].to_numpy(), t["ts"].to_numpy()
+        cents = np.rint(t["value"].to_numpy() * 100).astype(np.int64)
+        csum = np.r_[0, np.cumsum(cents)]
+        # each purchase's touch range: the user's touch segment
+        # (vectorized searchsorted over the user-sorted touch array),
+        # narrowed to [ts - span, ts) by two probes in that segment
+        us = np.searchsorted(tu, pu, side="left")
+        ue = np.searchsorted(tu, pu, side="right")
+        lo = np.empty(len(p), dtype=np.int64)
+        hi = np.empty(len(p), dtype=np.int64)
+        seg = np.unique(np.stack([us, ue]), axis=1)
+        for s, e in seg.T:          # one iteration per distinct user
+            # match on BOTH bounds: a touch-less user (s == e) may
+            # share its insertion point with a real segment's start
+            m = (us == s) & (ue == e)
+            lo[m] = s + np.searchsorted(tts[s:e], pts[m] - span,
+                                        side="left")
+            hi[m] = s + np.searchsorted(tts[s:e], pts[m],
+                                        side="left")
+        n = hi - lo
+        keep = n > 0
+        if not keep.any():
+            return empty
+        return pd.DataFrame({
+            "purchase_id": p["event_id"].to_numpy()[keep],
+            "n_touches": n[keep],
+            "sum_touch_value": (csum[hi[keep]] - csum[lo[keep]])
+                               / 100.0,
+        }).sort_values("purchase_id", kind="mergesort")
 
     return (ds.map_batches(add_pid, batch_format="pyarrow",
                            batch_size=65536)

@@ -12,7 +12,7 @@ sys.path.insert(0, "/root/repo")
 
 SF = "/root/testdata/sf0.001"
 QUERIES = ["events_asof_order", "purchase_attribution",
-           "event_sessions"]
+           "event_sessions", "event_prop_stats"]
 
 
 @pytest.fixture(scope="module")
