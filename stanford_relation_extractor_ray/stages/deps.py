@@ -360,7 +360,8 @@ ALL_DEP_TEMPLATES = (
     "dependency_path_directed_bigrams",
     "dependency_path_edge_unigrams", "verb_in_dependency_path",
     "dependency_paths_to_verb", "dependency_path_stubs_to_verb",
-    "dependency_path_clusters", "full_tree_path")
+    "dependency_path_clusters", "dependency_path_trigger",
+    "full_tree_path")
 
 
 def dep_template_features(tokens: list[str], pos: list[str],
@@ -416,6 +417,14 @@ def dep_template_features(tokens: list[str], pos: list[str],
         clusters = get_world().word_clusters()
         feats.extend("cluster_in_dependency_path:" + clusters[tokens[i]]
                      for i in noarg if tokens[i] in clusters)
+    if "dependency_path_trigger" in want:
+        # FeatureFactory.java:972-983 — relation label of trigger
+        # phrases whose B- mark lands on a non-arg path node
+        from .triggers import trigger_marks
+        marks = trigger_marks(tokens)
+        feats.extend("dependency_path_trigger=" + marks[i][2:]
+                     for i in noarg
+                     if marks[i] is not None and marks[i].startswith("B-"))
     if "dependency_path_POS_unigrams" in want:
         feats.extend("POS_in_dependency_path:_" + pos[i]
                      for i in nodes[1:-1])

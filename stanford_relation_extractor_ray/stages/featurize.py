@@ -108,6 +108,19 @@ def _p_span_words_bigrams(f: Featurizable) -> list[str]:
     return [f"span_bigram:{a}-{b}" for a, b in zip(t, t[1:])]
 
 
+def _p_span_words_trigger(f: Featurizable) -> list[str]:
+    """FeatureFactory.java:512-518 — relation labels of trigger
+    phrases beginning inside the between-args span (available, not in
+    the active set, matching relationFeatures line 89). The reference
+    marks whole-sentence tokens and reads the span slice; connector
+    phrases in this world always lie strictly between the args, so
+    marking the span is equivalent."""
+    from .triggers import trigger_marks
+    return [f"span_words_trigger={m[2:]}"
+            for m in trigger_marks(f.between_tokens)
+            if m is not None and m.startswith("B-")]
+
+
 def _clusters() -> dict[str, str]:
     from ..world import get_world
     return get_world().word_clusters()
@@ -154,6 +167,7 @@ FEATURE_PROVIDERS: dict[str, object] = {
     "arg_words": _p_arg_words,
     "span_words_unigrams": _p_span_words_unigrams,
     "span_words_bigrams": _p_span_words_bigrams,
+    "span_words_trigger": _p_span_words_trigger,
     "arg_cluster": _p_arg_cluster,
     "span_clusters_unigrams": _p_span_clusters_unigrams,
     "surface_path_clusters": _p_surface_path_clusters,

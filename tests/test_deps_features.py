@@ -232,3 +232,38 @@ def test_featurize_cluster_providers():
     assert f"cluster_arg1:_{clusters['treasurer']}" in feats
     assert (f"cluster_args:_{clusters['Smith']}__"
             f"{clusters['treasurer']}") in feats
+
+
+def test_trigger_feature_families():
+    """Trigger-phrase families (FeatureFactory.java:512-518,972-983
+    over PreFeaturizerAnnotator.markTriggerWords :418-437): relation
+    labels of trigger phrases, available providers outside the active
+    set — matching the shipped relationFeatures config."""
+    from stanford_relation_extractor_ray.stages.deps import \
+        dep_template_features
+    from stanford_relation_extractor_ray.stages.featurize import (
+        ACTIVE_FEATURES, FEATURE_PROVIDERS)
+    from stanford_relation_extractor_ray.stages.triggers import \
+        trigger_marks
+    # BIO marking, case-insensitive, matched span skipped past
+    marks = trigger_marks("Jane Doe WORKS FOR Acme Corp".split())
+    assert marks[2] == "B-per:employee_of"
+    assert marks[3] == "I-per:employee_of"
+    assert marks[0] is None and marks[4] is None
+    # span provider: B- marks inside the between-args span only
+    assert "span_words_trigger" in FEATURE_PROVIDERS
+    assert "span_words_trigger" not in ACTIVE_FEATURES
+    t = pa.Table.from_pylist([_cand_row()], schema=CANDIDATES_SCHEMA)
+    feats = featurize_batch(
+        t, features=("span_words_trigger",)).column(
+        "features").to_pylist()[0]
+    # "was born in" is the shared phrase of three *_of_birth relations;
+    # the deterministic tie order keeps the last-sorted label
+    trig = [f for f in feats if f.startswith("span_words_trigger=")]
+    assert trig == ["span_words_trigger=per:stateorprovince_of_birth"]
+    # dep-path provider: B- mark must land ON a non-arg path node
+    toks, pos, edges = _edges("Jane Doe works for Acme Corp")
+    feats = dep_template_features(
+        toks, pos, edges, (0, 2), (4, 6),
+        templates=("dependency_path_trigger",))
+    assert feats == ["dependency_path_trigger=per:employee_of"]
