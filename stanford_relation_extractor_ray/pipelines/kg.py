@@ -249,15 +249,18 @@ def finalize_fills(fills, *, seed: int = 42, aliases_ref=None,
             # pinned by tests/test_pipeline_e2e.py.
             out = _postprocess_driver_side(consistent, seed, known)
             if repair and out is not None:
-                import ray
+                # same None guard as the distributed branch below:
+                # external corpora yield no recoverable provenance docs
+                repair_sents = provenance_sentences(consistent, seed)
+                if repair_sents is not None:
+                    import ray
 
-                from ..world import get_world
-                alias_rows = ray.get(aliases_ref) \
-                    if aliases_ref is not None \
-                    else get_world(seed).alias_table()
-                out = pp.repair_provenance(
-                    out, provenance_sentences(consistent, seed),
-                    aliases=alias_rows)
+                    from ..world import get_world
+                    alias_rows = ray.get(aliases_ref) \
+                        if aliases_ref is not None \
+                        else get_world(seed).alias_table()
+                    out = pp.repair_provenance(
+                        out, repair_sents, aliases=alias_rows)
             if out is not None:
                 return out
         sentences = provenance_sentences(consistent, seed)

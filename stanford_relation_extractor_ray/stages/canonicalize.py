@@ -162,11 +162,32 @@ def propagate_components(pairs, *, max_iter: int = 50) -> list[dict]:
               .select_columns(["node", "label"])
               .materialize())
 
+    converged = False
     for _ in range(max_iter):
         def tag_label(df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({
+            base = pd.DataFrame({
                 "node": df["node"], "peer": "", "label": df["label"],
-                "side": "L", "pid": _pid(df["node"])})
+                "side": "L"})
+            # pointer-jumping links (hash-to-min): each node also
+            # exchanges labels with its CURRENT label node, so chains
+            # collapse in O(log diameter) rounds instead of
+            # O(diameter); the fixpoint (min label per component) is
+            # unchanged. Emitted from the same map as the L rows —
+            # a third concurrent union branch over `labels` can
+            # stall the streaming executor (see the two-pool note in
+            # official_eval/run_kg).
+            d = df[df["label"] != df["node"]]
+            node = pd.concat([d["node"], d["label"]],
+                             ignore_index=True)
+            peer = pd.concat([d["label"], d["node"]],
+                             ignore_index=True)
+            links = pd.DataFrame({
+                "node": node, "peer": peer,
+                "label": pd.Series([""] * len(node), dtype=object),
+                "side": "E"})
+            out = pd.concat([base, links], ignore_index=True)
+            out["pid"] = _pid(out["node"])
+            return out
 
         def tag_edge(df: pd.DataFrame) -> pd.DataFrame:
             # routed by ka: this partition holds label[ka]; the
@@ -213,7 +234,13 @@ def propagate_components(pairs, *, max_iter: int = 50) -> list[dict]:
         changed = nxt.sum("changed")
         labels = nxt.select_columns(["node", "label"]).materialize()
         if not changed:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"propagate_components did not reach a fixpoint in "
+            f"{max_iter} rounds — component diameter exceeds the "
+            f"pointer-jumping bound; raise max_iter")
 
     # columnar collect — take_all on pandas blocks is per-row-priced
     return labels.to_pandas().to_dict("records")

@@ -129,7 +129,7 @@ def decode_image_meta(payload: bytes, fmt: str) -> tuple[int, int, int]:
         bpp = int.from_bytes(payload[28:30], "little")
         return w, h, max(1, bpp // 8)
     if fmt == "pnm":
-        toks = _pnm_header_tokens(payload)
+        toks, _ = _pnm_header_tokens(payload)
         return int(toks[1]), int(toks[2]), 3 if toks[0] == "P6" else 1
     if fmt == "jpeg":
         i = 2
@@ -169,8 +169,12 @@ def decode_wav_meta(payload: bytes) -> tuple[int, float]:
     return rate, data_len / byte_rate
 
 
-def _pnm_header_tokens(payload: bytes) -> list[str]:
-    """First 4 whitespace-separated header tokens (comments skipped)."""
+def _pnm_header_tokens(payload: bytes) -> tuple[list[str], int]:
+    """First 4 whitespace-separated header tokens (comments skipped)
+    plus the offset just past the last one — pixel data begins one
+    whitespace byte later. (Searching for the maxval token instead
+    would mis-locate it whenever width/height/comments contain the
+    same digits.)"""
     toks: list[str] = []
     i = 0
     while len(toks) < 4 and i < len(payload):
@@ -185,7 +189,7 @@ def _pnm_header_tokens(payload: bytes) -> list[str]:
             j += 1
         toks.append(payload[i:j].decode("ascii"))
         i = j
-    return toks
+    return toks, i
 
 
 def decode_image_pixels(payload: bytes) -> np.ndarray:
@@ -197,14 +201,12 @@ def decode_image_pixels(payload: bytes) -> np.ndarray:
     """
     fmt = sniff_format(payload)
     if fmt == "pnm":
-        toks = _pnm_header_tokens(payload)
+        toks, hdr_end = _pnm_header_tokens(payload)
         w, h = int(toks[1]), int(toks[2])
         ch = 3 if toks[0] == "P6" else 1
         # pixel data begins one whitespace byte after the maxval token
-        idx = payload.index(toks[3].encode())
-        start = idx + len(toks[3]) + 1
         arr = np.frombuffer(payload, np.uint8, count=w * h * ch,
-                            offset=start)
+                            offset=hdr_end + 1)
         return arr.reshape(h, w, ch)
     if fmt == "bmp":
         w, h, ch = decode_image_meta(payload, "bmp")

@@ -69,14 +69,15 @@ def scan_slot_mentions(tokens: list[str], pos: list[str],
         a = ante[start]
         end = start + 1
         while end < n:
+            if ner[end] != tag or entity_mask[end]:
+                break       # token `end` is outside the run — its
+                            # antecedent must not leak onto it
             if not a:
                 a = ante[end]
-            if ner[end] != tag or entity_mask[end]:
-                break
             end += 1
         while end > start + 1 and pos[end - 1] in _INVALID_SLOT_POS:
             end -= 1
-        if end < n - 1 and entity_mask[end] and entity_ner is not None \
+        if end < n and entity_mask[end] and entity_ner is not None \
                 and ner[end - 1] == entity_ner:
             start = end
             continue

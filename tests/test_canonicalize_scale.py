@@ -82,3 +82,19 @@ def test_cc_ds_gate_paths_equal(ray_session, monkeypatch):
         sorted(large, key=lambda r: r["id"])
     roots = {r["id"]: r["root"] for r in small}
     assert roots[30] == 1 and roots[400] == 5 and roots[10] == 9
+
+
+def test_propagate_components_long_chain_pointer_jumping(ray_session):
+    """A 16-hop chain converges in ≤8 rounds: the per-round
+    label↔node links collapse chains in O(log diameter) rounds
+    (plain min-propagation would need 16); the loop raises rather
+    than returning unconverged labels. (A 40-chain inside max_iter=10
+    is verified the same way, but each round is a fixed-latency Ray
+    execution, too slow for the suite.)"""
+    import ray.data as rd
+    pairs = rd.from_items([
+        {"a": f"N{i:03d}", "b": f"N{i + 1:03d}", "type": "ORGANIZATION"}
+        for i in range(16)])
+    rows = C.propagate_components(pairs, max_iter=8)
+    roots = {r["node"]: r["label"] for r in rows}
+    assert set(roots.values()) == {"N000|ORGANIZATION"}

@@ -240,3 +240,16 @@ def test_unknown_container_is_the_seam():
     from stanford_relation_extractor_ray.stages.media import MediaDecoder
     with pytest.raises(NotImplementedError):
         MediaDecoder()._decode("image", b"\x00unknown-bytes")
+
+
+def test_pnm_decode_with_maxval_digits_in_dimensions():
+    """Header parsing must not locate pixel data by searching for the
+    maxval string: a 255-wide image (or a '# 255' comment) contains
+    the same digits earlier in the header."""
+    import numpy as np
+    from stanford_relation_extractor_ray.stages.media import \
+        decode_image_pixels
+    px = (np.arange(255 * 2 * 3) % 251).astype(np.uint8) \
+        .reshape(2, 255, 3)
+    payload = b"P6\n# 255 note\n255 2\n255\n" + px.tobytes()
+    assert np.array_equal(decode_image_pixels(payload), px)

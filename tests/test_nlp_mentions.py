@@ -214,3 +214,22 @@ def test_slot_scan_full_lexicon_value_with_interior_in():
     out = _scan("died of complications of influenza .",
                 [(2, 5, "CAUSE_OF_DEATH")])
     assert out == [(2, 5, "CAUSE_OF_DEATH", "")]
+
+
+def test_slot_scan_no_antecedent_leak_from_next_token():
+    """The antecedent of the first token AFTER a run must not leak
+    onto the run (it belongs to the breaking token, e.g. a resolved
+    pronoun right after a slot value)."""
+    ante = ["", "", "", "Robert Smith", ""]
+    out = _scan("He visited Toronto he .",
+                [(2, 3, "CITY")], ante=ante)
+    assert (2, 3, "CITY", "") in out
+
+
+def test_slot_scan_dangling_edge_at_sentence_end():
+    """The dangling-edge drop also applies when the masked entity
+    mention is the sentence-final token."""
+    out = _scan("Junior Smith",
+                [(0, 1, "PERSON"), (1, 2, "PERSON")],
+                mask_spans=[(1, 2)], entity_ner="PERSON")
+    assert out == []

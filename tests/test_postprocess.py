@@ -258,3 +258,18 @@ def test_repair_provenance_via_alias(ray_session):
         fills, sentences,
         aliases=[("ACME", "Acme Corp", 1.0)]).take_all()
     assert (out[0]["doc_id"], out[0]["sent_idx"]) == ("dA", 3)
+
+
+def test_finalize_fills_repair_external_doc_ids(ray_session):
+    """finalize_fills(repair=True) on fills whose doc ids are NOT the
+    generator format (an external corpus): provenance_sentences
+    returns None and BOTH gate paths must skip repair instead of
+    crashing (the small-fills path once lacked the None guard)."""
+    import ray.data as rd
+
+    from stanford_relation_extractor_ray.pipelines.kg import \
+        finalize_fills
+    fills = rd.from_items([_fill(doc_id="ext-corpus-17")])
+    out = finalize_fills(fills, repair=True).take_all()
+    assert len(out) == 1
+    assert out[0]["doc_id"] == "ext-corpus-17"
