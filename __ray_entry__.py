@@ -298,6 +298,28 @@ def _q_text_fingerprint(sf_dir: str):
             .select_columns(["doc_id", "md5"]).sort("doc_id"))
 
 
+def _q_text_repetition(sf_dir: str):
+    from stanford_relation_extractor_ray.stages.textquality import \
+        add_repetition
+    ds = add_repetition(_docs_with_id_text(sf_dir)) \
+        .select_columns(["doc_id", "top_bigram_frac",
+                         "dup_bigram_frac"])
+    ds = _round_col(ds, "top_bigram_frac", 9)
+    ds = _round_col(ds, "dup_bigram_frac", 9)
+    return ds.sort("doc_id")
+
+
+def _q_pii_scrub(sf_dir: str):
+    import ray.data as rd
+
+    from stanford_relation_extractor_ray.stages.scrub import \
+        scrub_summary
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+    return scrub_summary(ev, "props", "event_type",
+                         patterns=("number",)).sort("event_type")
+
+
 def _q_text_langid(sf_dir: str):
     from stanford_relation_extractor_ray.stages.textquality import \
         add_lang_id
@@ -395,6 +417,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": _q_text_quality,
         "text_fingerprint": _q_text_fingerprint,
         "text_langid": _q_text_langid,
+        "text_repetition": _q_text_repetition,
+        "pii_scrub": _q_pii_scrub,
         # knowledge-graph pipeline (non-SQL: rows-only check)
         "kg_triples": _q_kg_triples,
         "kg_nodes": _q_kg_graph_nodes,
@@ -715,6 +739,34 @@ def oracle_sql() -> dict[str, str]:
                 WHEN es = greatest(de, en, es, fr) THEN 'es'
                 ELSE 'fr' END AS pred_lang
             FROM c ORDER BY doc_id
+        """,
+        "text_repetition": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS l
+                       FROM documents),
+            e AS (SELECT doc_id, l,
+                  unnest(generate_series(1, len(l) - 1)) AS i FROM w),
+            b AS (SELECT doc_id, l[i] || ' ' || l[i + 1] AS bg FROM e),
+            c AS (SELECT doc_id, bg, count(*) AS n
+                  FROM b GROUP BY 1, 2),
+            s AS (SELECT doc_id, max(n)::DOUBLE / sum(n) AS topf,
+                  sum(CASE WHEN n > 1 THEN n ELSE 0 END)::DOUBLE
+                      / sum(n) AS dupf
+                  FROM c GROUP BY doc_id)
+            SELECT d.doc_id,
+                   ROUND(COALESCE(s.topf, 0.0), 9) AS top_bigram_frac,
+                   ROUND(COALESCE(s.dupf, 0.0), 9) AS dup_bigram_frac
+            FROM documents d LEFT JOIN s USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "pii_scrub": """
+            SELECT event_type,
+                   count(*)::BIGINT AS n_rows,
+                   sum(len(regexp_extract_all(props, '[0-9]+')))
+                       ::BIGINT AS total_redacted,
+                   count(DISTINCT regexp_replace(
+                       props, '[0-9]+', '<NUM>', 'g'))::BIGINT
+                       AS distinct_forms
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         # golden-file oracles (semantics SQL cannot reproduce —
         # simhash banding, IVF probing, the KG extractor; pins

@@ -126,3 +126,49 @@ def add_fingerprint(ds, text_col: str = "text"):
 def hash_word(w: str) -> int:
     import zlib
     return zlib.crc32(w.encode())
+
+
+def add_repetition(ds, text_col: str = "text"):
+    """Gopher-style repetition metrics (Rae et al. 2021, §A1.1):
+    ``top_bigram_frac`` — the fraction of a document's bigram
+    occurrences taken by its single most frequent bigram — and
+    ``dup_bigram_frac`` — the fraction of bigram occurrences whose
+    bigram occurs more than once. High values flag boilerplate /
+    template-repeated documents for the dedup-adjacent quality gate.
+
+    Vectorized: the batch's bigrams flatten into ONE (doc, bigram)
+    frame; per-doc totals/max/dup-sums are three pandas groupbys (no
+    per-document Python counting). Documents with fewer than two
+    tokens score 0.0 on both.
+    """
+    import pandas as pd
+
+    def rep(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        doc_idx: list[int] = []
+        bgs: list[str] = []
+        for i, t in enumerate(texts):
+            toks = t.split(' ') if t else []
+            if len(toks) > 1:
+                doc_idx.extend([i] * (len(toks) - 1))
+                bgs.extend(a + ' ' + b
+                           for a, b in zip(toks, toks[1:]))
+        top = np.zeros(len(texts))
+        dup = np.zeros(len(texts))
+        if bgs:
+            c = (pd.DataFrame({"d": np.asarray(doc_idx), "b": bgs})
+                 .groupby(["d", "b"], sort=False).size())
+            tot = c.groupby(level=0).sum()
+            mx = c.groupby(level=0).max()
+            dups = c[c > 1].groupby(level=0).sum() \
+                .reindex(tot.index, fill_value=0)
+            top[tot.index] = (mx / tot).to_numpy()
+            dup[tot.index] = (dups / tot).to_numpy()
+        return (batch
+                .append_column("top_bigram_frac",
+                               pa.array(top, pa.float64()))
+                .append_column("dup_bigram_frac",
+                               pa.array(dup, pa.float64())))
+
+    return ds.map_batches(rep, batch_format="pyarrow",
+                          batch_size=4096)

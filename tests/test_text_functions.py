@@ -66,3 +66,62 @@ def test_timex_sutime_shapes():
     assert t("1970-05-03") == "1970-05-03"   # ISO passthrough
     assert t("1970-05-XX") == "1970-05-XX"
     assert t("yesterday") is None            # no document date
+
+
+def test_repetition_metrics(ray_session):
+    """Gopher-style repetition: top/dup bigram fractions per doc."""
+    import ray.data as rd
+
+    from stanford_relation_extractor_ray.stages.textquality import \
+        add_repetition
+    ds = rd.from_items([
+        {"doc_id": "d1", "text": "a b a b c"},   # "a b"×2 of 4 bigrams
+        {"doc_id": "d2", "text": "x y"},
+        {"doc_id": "d3", "text": "solo"},        # no bigram → 0.0
+    ])
+    out = {r["doc_id"]: r for r in add_repetition(ds).take_all()}
+    assert out["d1"]["top_bigram_frac"] == 0.5
+    assert out["d1"]["dup_bigram_frac"] == 0.5
+    assert out["d2"]["top_bigram_frac"] == 1.0
+    assert out["d2"]["dup_bigram_frac"] == 0.0
+    assert out["d3"]["top_bigram_frac"] == 0.0
+
+
+def test_pii_scrub_patterns(ray_session):
+    """Email/phone/IP redaction with per-pattern counts; patterns
+    apply in order on the progressively redacted text."""
+    import ray.data as rd
+
+    from stanford_relation_extractor_ray.stages.scrub import scrub
+    ds = rd.from_items([
+        {"text": "mail jane.doe@example.org or call 555-123-4567"},
+        {"text": "host 192.168.0.1 ok"},
+        {"text": "clean"},
+    ])
+    out = scrub(ds, "text").take_all()
+    by = {r["text"]: r for r in out}
+    r0 = by["mail jane.doe@example.org or call 555-123-4567"]
+    assert r0["text_redacted"] == "mail <EMAIL> or call <PHONE>"
+    assert (r0["n_email"], r0["n_phone"], r0["n_redacted"]) == (1, 1, 2)
+    r1 = by["host 192.168.0.1 ok"]
+    assert r1["text_redacted"] == "host <IP> ok"
+    assert by["clean"]["n_redacted"] == 0
+
+
+def test_pii_scrub_summary(ray_session):
+    import ray.data as rd
+
+    from stanford_relation_extractor_ray.stages.scrub import \
+        scrub_summary
+    ds = rd.from_items([
+        {"g": "a", "text": '{"k": 12}'},
+        {"g": "a", "text": '{"k": 7}'},
+        {"g": "b", "text": "none"},
+    ])
+    out = {r["g"]: r for r in
+           scrub_summary(ds, "text", "g",
+                         patterns=("number",)).take_all()}
+    assert out["a"]["n_rows"] == 2
+    assert out["a"]["total_redacted"] == 2
+    assert out["a"]["distinct_forms"] == 1      # both → {"k": <NUM>}
+    assert out["b"]["total_redacted"] == 0
