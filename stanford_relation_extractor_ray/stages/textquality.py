@@ -46,7 +46,12 @@ def add_token_counts(ds, text_col: str = "text"):
 def add_quality(ds, text_col: str = "text"):
     """Quality metrics: distinct-word ratio, mean word length,
     alpha-character ratio — each exactly SQL-expressible for the
-    oracle; composite ``quality_score`` is their mean."""
+    oracle; composite ``quality_score`` is their mean.
+
+    The per-text loop is deliberate: the work is per-document set
+    construction, which CPython does in ~46 µs/doc here — a measured
+    explode + groupby-nunique rewrite ran 2.5× SLOWER (pandas object
+    explosion dominates), so "vectorizing" this stage pessimizes it."""
 
     def quality(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
