@@ -42,10 +42,15 @@ def entry() -> Any:
 # --------------------------------------------------------------------------
 
 def _round_col(ds, col: str, digits: int):
+    # half_towards_infinity = DuckDB ROUND's half-away-from-zero;
+    # Arrow's default half-to-even diverges on exact binary ties
+    # (e.g. 1/1024 at 9 digits), which ratio columns with raw-count
+    # denominators can actually hit
     def f(batch: pa.Table) -> pa.Table:
         i = batch.column_names.index(col)
         return batch.set_column(
-            i, col, pc.round(batch.column(col), ndigits=digits))
+            i, col, pc.round(batch.column(col), ndigits=digits,
+                             round_mode="half_towards_infinity"))
     return ds.map_batches(f, batch_format="pyarrow")
 
 
@@ -442,7 +447,8 @@ def _cents(ds, cols):
         for col, scale in cols:
             i = batch.column_names.index(col)
             v = pc.round(pc.multiply(batch.column(col),
-                                     pa.scalar(float(scale))), ndigits=0)
+                                     pa.scalar(float(scale))), ndigits=0,
+                         round_mode="half_towards_infinity")
             batch = batch.set_column(i, col, pc.cast(v, pa.int64()))
         return batch
     return ds.map_batches(f, batch_format="pyarrow")

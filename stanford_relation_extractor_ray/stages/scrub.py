@@ -84,19 +84,24 @@ def scrub_summary(ds, text_col: str, group_col: str,
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.select([group_col, form, "n_redacted"]).to_pandas()
-        g = (df.groupby([group_col, form], sort=False)["n_redacted"]
-             .agg(n_rows="count", n_red="sum").reset_index())
+        # dropna=False: null text rows still count toward n_rows
+        # (SQL count(*) semantics); their null form is excluded from
+        # the distinct-form census in final (count(DISTINCT ...)
+        # ignores nulls), and their n_redacted is 0 (scrub fills it)
+        g = (df.groupby([group_col, form], sort=False, dropna=False)
+             ["n_redacted"].agg(n_rows="count", n_red="sum")
+             .reset_index())
         return pa.Table.from_pandas(g, preserve_index=False)
 
     def final(df) -> "object":
         import pandas as pd
-        g = (df.groupby(form, sort=True)[["n_rows", "n_red"]]
-             .sum().reset_index())
+        g = (df.groupby(form, sort=True, dropna=False)
+             [["n_rows", "n_red"]].sum().reset_index())
         return pd.DataFrame({
             group_col: [df[group_col].iloc[0]],
             "n_rows": [int(g["n_rows"].sum())],
             "total_redacted": [int(g["n_red"].sum())],
-            "distinct_forms": [len(g)]})
+            "distinct_forms": [int(g[form].notna().sum())]})
 
     return (red.map_batches(partial, batch_format="pyarrow")
             .groupby(group_col)

@@ -125,3 +125,44 @@ def test_pii_scrub_summary(ray_session):
     assert out["a"]["total_redacted"] == 2
     assert out["a"]["distinct_forms"] == 1      # both → {"k": <NUM>}
     assert out["b"]["total_redacted"] == 0
+
+
+def test_pii_scrub_summary_null_text(ray_session):
+    """Null text rows count toward n_rows (SQL count(*)) but are
+    excluded from the distinct-form census (count(DISTINCT) ignores
+    nulls) and contribute 0 redactions."""
+    import ray.data as rd
+
+    from stanford_relation_extractor_ray.stages.scrub import \
+        scrub_summary
+    ds = rd.from_items([
+        {"g": "a", "text": '{"k": 12}'},
+        {"g": "a", "text": None},
+        {"g": "a", "text": '{"k": 7}'},
+    ])
+    out = scrub_summary(ds, "text", "g",
+                        patterns=("number",)).take_all()
+    assert out[0]["n_rows"] == 3
+    assert out[0]["total_redacted"] == 2
+    assert out[0]["distinct_forms"] == 1
+
+
+def test_round_col_matches_duckdb_round(ray_session):
+    """__ray_entry__._round_col must reproduce DuckDB ROUND exactly:
+    half away from zero, not Arrow's default half-to-even — exact
+    binary ties (1/1024 at 9 digits) are reachable by ratio columns
+    whose denominators are raw token counts."""
+    import duckdb
+    import ray.data as rd
+    vals = [1.0 / 1024, -1.0 / 1024, 0.123456789499, 2.5e-9]
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "_re", "/root/repo/__ray_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    ds = rd.from_items([{"v": v} for v in vals])
+    got = sorted(r["v"] for r in mod._round_col(ds, "v", 9).take_all())
+    want = sorted(
+        duckdb.sql(f"SELECT ROUND({v!r}::DOUBLE, 9)").fetchone()[0]
+        for v in vals)
+    assert got == want
