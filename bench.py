@@ -115,6 +115,7 @@ def main():
                      "dedup_minhash_lsh", "dedup_components",
                      "dedup_simhash", "similarity_topk",
                      "text_quality", "text_tokens",
+                     "text_repetition", "pii_scrub",
                      "events_asof_order", "event_sessions"):
             t0 = time.time()
             res = qs[name](SF_DIR)
