@@ -276,6 +276,18 @@ def _q_similarity_ivf(sf_dir: str):
     return ivf_topk(bucketed, cent, _query_vec(sf_dir), k=10, n_probe=3)
 
 
+def _q_embedding_clusters(sf_dir: str):
+    import ray.data as rd
+
+    from stanford_relation_extractor_ray.stages.clustering import \
+        kmeans
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    assigned, _ = kmeans(emb, k=8, n_iter=5)
+    return assigned.select_columns(["vec_id", "cluster"]) \
+        .sort("vec_id")
+
+
 def _q_text_tokens(sf_dir: str):
     from stanford_relation_extractor_ray.stages.textquality import \
         add_token_counts
@@ -417,6 +429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "similarity_topk": _q_similarity_topk,
         "similarity_ivf": _q_similarity_ivf,
+        "embedding_clusters": _q_embedding_clusters,
         # text analysis
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
@@ -782,6 +795,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, hamming FROM read_csv(
                 '{_GOLDEN}/dedup_simhash_sf0_01.csv', header=true)
             ORDER BY id_a, id_b
+        """,
+        "embedding_clusters": f"""
+            SELECT vec_id, cluster FROM read_csv(
+                '{_GOLDEN}/embedding_clusters_sf0_01.csv',
+                header=true)
+            ORDER BY vec_id
         """,
         "approx_distinct_users": f"""
             SELECT event_type, approx_distinct FROM read_csv(
