@@ -27,7 +27,7 @@ DataContext.get_current().enable_progress_bars = False
 import __ray_entry__ as E
 for name in ("kg_triples", "events_asof_order", "event_sessions",
              "rolling_user_value", "approx_distinct_users",
-             "heavy_hitter_tokens"):
+             "heavy_hitter_tokens", "embedding_clusters"):
     res = E.queries()[name]("/root/testdata/sf0.001")
     df = res.to_pandas() if hasattr(res, "to_pandas") else res
     sys.stdout.write(f"== {name}\n" + df.to_csv(index=False))
