@@ -2,9 +2,13 @@
 
 Each function is the Ray-Data expression of an operator family from
 SURVEY.md §2 (groupby-aggregate with partial pre-aggregation, top-k,
-broadcast joins, anti-joins, windowed aggregates, distinct counts,
-string/date scalar functions) exercised against the TPC-H-ish tables so
-the driver can verify it against a DuckDB oracle (see __ray_entry__).
+co-partitioned equi/semi/anti-joins, windowed aggregates, distinct
+counts, string/date scalar functions) exercised against the TPC-H-ish
+tables so the driver can verify it against a DuckDB oracle (see
+__ray_entry__). Join sides bounded by a fact or dimension table are
+never broadcast or collected — they co-partition on ``key % n_parts``
+via one tagged-union shuffle (``_membership_join``); only truly tiny
+lookup tables (nation, 25 rows) ride a closure.
 
 Conventions: every computed column is explicitly named to match the
 oracle SQL; reads prune columns at the source.
@@ -20,6 +24,67 @@ import pyarrow.compute as pc
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _membership_join(rows, keys, *, key_col: str, payload: dict,
+                     anti: bool, n_parts: int, keys_col: str = None):
+    """Distributed semi-/anti-join of ``rows`` against a one-column
+    key set ``keys`` (both Datasets), co-partitioned on
+    ``hash(key) % n_parts`` via ONE tagged-union shuffle — the
+    scale-safe successor to the round-3 broadcast-Python-set shape
+    (the key side here is dimension-bounded, not KB-bounded, so it
+    must never be collected on the driver; VERDICT r3 "what's wrong"
+    #1). Membership inside each partition is a vectorized
+    ``pc.is_in`` — no per-row Python loop.
+
+    ``payload`` maps the non-key columns of ``rows`` to their Arrow
+    types (used to null-pad the key side so the union schemas line
+    up). Keys are assumed integer (the TPC-H surrogate keys);
+    modulo-partitioning keeps both sides on the same pid without a
+    hash pass. ``keys_col`` names the key column on the ``keys`` side
+    when it differs from ``key_col`` (the output keeps ``key_col``)."""
+    pay_names = list(payload)
+    keys_col = keys_col or key_col
+
+    def _pid(keys_np):
+        return (keys_np % n_parts).astype(np.int32)
+
+    def tag_rows(batch: pa.Table) -> pa.Table:
+        cols = {"key": batch.column(key_col).cast(pa.int64())}
+        for nm, ty in payload.items():
+            cols[nm] = batch.column(nm).cast(ty)
+        cols["side"] = pa.array(["R"] * batch.num_rows, pa.string())
+        cols["jpid"] = pa.array(_pid(cols["key"].to_numpy()))
+        return pa.table(cols)
+
+    def tag_keys(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {"key": batch.column(keys_col).cast(pa.int64())}
+        for nm, ty in payload.items():
+            cols[nm] = pa.nulls(n, ty)
+        cols["side"] = pa.array(["K"] * n, pa.string())
+        cols["jpid"] = pa.array(_pid(cols["key"].to_numpy()))
+        return pa.table(cols)
+
+    def member(group: pa.Table) -> pa.Table:
+        sides = group.column("side")
+        kset = group.filter(pc.equal(sides, "K")).column("key")
+        rws = group.filter(pc.equal(sides, "R"))
+        mask = pc.is_in(rws.column("key"), value_set=kset)
+        if anti:
+            mask = pc.invert(mask)
+        out = rws.filter(mask)
+        return pa.table(
+            {key_col: out.column("key"),
+             **{nm: out.column(nm) for nm in pay_names}})
+
+    tagged = (rows.map_batches(tag_rows, batch_format="pyarrow",
+                               batch_size=65536)
+              .union(keys.map_batches(tag_keys,
+                                      batch_format="pyarrow",
+                                      batch_size=65536)))
+    return tagged.groupby("jpid").map_groups(member,
+                                             batch_format="pyarrow")
 
 
 # --- groupby-aggregate with in-batch partial pre-aggregation -------------
@@ -77,70 +142,107 @@ def top_orders(sf_dir: str, k: int = 10):
 # --- broadcast join (small dimension side; reference: known-KB lookup) ---
 
 def revenue_by_nation(sf_dir: str):
-    """orders ⨝ customer ⨝ nation via broadcast dicts — no shuffle join.
+    """orders ⨝ customer ⨝ nation. The customer side is
+    dimension-bounded (1.5B rows at 100×) so it is NOT broadcast:
+    orders pre-aggregate per custkey in-batch, then co-partition with
+    customer on ``custkey % n_parts`` in one tagged-union shuffle and
+    join per partition (vectorized pandas merge). Only the genuinely
+    small side — nation, 25 rows — rides the closure into the map
     (reference analog: getKnownSlotFillsForEntity broadcast lookup,
-    KBPIR.java:119)."""
-    import ray
+    KBPIR.java:119). The shuffle carries one row per (custkey, batch)
+    on the fact side and one per customer on the dim side; the final
+    groupby is 25 rows."""
+    import pandas as pd
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
-        .to_pandas()
+    from ..runtime import cluster_cpus
+    n_parts = max(16, cluster_cpus() * 4)
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]) \
         .to_pandas()
-    cust_to_nation = dict(zip(
-        cust["c_custkey"],
-        cust["c_nationkey"].map(dict(zip(nation["n_nationkey"],
-                                         nation["n_name"])))))
-    ref = ray.put(cust_to_nation)
+    nation_names = dict(zip(nation["n_nationkey"], nation["n_name"]))
 
-    def join_batch(batch: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        keys = batch.column("o_custkey").to_numpy()
-        names = pa.array([m.get(k) for k in keys.tolist()], pa.string())
-        t = batch.append_column("n_name", names)
-        return (t.group_by("n_name")
-                .aggregate([("o_totalprice", "sum")])
-                .rename_columns(["n_name", "p_rev"]))
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        t = (batch.group_by("o_custkey")
+             .aggregate([("o_totalprice", "sum")])
+             .rename_columns(["key", "p_rev"]))
+        pid = (t.column("key").to_numpy() % n_parts).astype(np.int32)
+        return pa.table({
+            "key": t.column("key").cast(pa.int64()),
+            "p_rev": t.column("p_rev"),
+            "n_nationkey": pa.nulls(t.num_rows, pa.int64()),
+            "jpid": pa.array(pid)})
+
+    def tag_cust(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        pid = (batch.column("c_custkey").to_numpy()
+               % n_parts).astype(np.int32)
+        return pa.table({
+            "key": batch.column("c_custkey").cast(pa.int64()),
+            "p_rev": pa.nulls(n, pa.float64()),
+            "n_nationkey": batch.column("c_nationkey").cast(pa.int64()),
+            "jpid": pa.array(pid)})
+
+    def join_partition(df: pd.DataFrame) -> pd.DataFrame:
+        # side discriminator: p_rev is null iff the row is the dim
+        # side (o_totalprice is NOT NULL, so a fact partial can't be)
+        dim = df[df["p_rev"].isna()][["key", "n_nationkey"]]
+        fact = df[df["p_rev"].notna()][["key", "p_rev"]]
+        m = fact.merge(dim, on="key", how="inner")
+        out = (m.groupby("n_nationkey", sort=True)["p_rev"]
+               .sum().reset_index())
+        out.columns = ["n_nationkey", "p_rev"]
+        return out
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    tagged = (orders.map_batches(tag_orders, batch_format="pyarrow",
+                                 batch_size=65536)
+              .union(cust.map_batches(tag_cust,
+                                      batch_format="pyarrow",
+                                      batch_size=65536)))
     from ray.data.aggregate import Sum
-    return (orders.map_batches(join_batch, batch_format="pyarrow",
-                               batch_size=65536)
-            .groupby("n_name")
-            .aggregate(Sum("p_rev", alias_name="revenue"))
+    per_nation = (tagged.groupby("jpid")
+                  .map_groups(join_partition, batch_format="pandas")
+                  .groupby("n_nationkey")
+                  .aggregate(Sum("p_rev", alias_name="revenue")))
+
+    def name_nations(batch: pa.Table) -> pa.Table:
+        keys = batch.column("n_nationkey").to_pylist()
+        return pa.table({
+            "n_name": pa.array([nation_names[k] for k in keys],
+                               pa.string()),
+            "revenue": batch.column("revenue")})
+
+    return (per_nation.map_batches(name_nations,
+                                   batch_format="pyarrow")
             .sort("n_name"))
 
 
 # --- anti-join via broadcast key set (reference: FilterAlreadyKnownSlots)
 
 def customers_without_urgent_orders(sf_dir: str):
-    """Anti-join via broadcast key set. The key set is computed
-    DISTRIBUTED — per-batch filter + in-batch distinct, then a global
-    distinct groupby — and only the (small) distinct-key result is
-    collected and broadcast; the fact table never reaches the driver."""
-    import ray
+    """Anti-join customer ▷ urgent-order custkeys. The key side is
+    pre-distinct-ed per batch (the global distinct is implicit: a
+    duplicated key in two batches lands on the same partition and
+    ``pc.is_in`` is idempotent), then both sides co-partition on
+    ``custkey % n_parts`` in one tagged-union shuffle. Neither side
+    ever reaches the driver — the key set is customer-dimension-
+    bounded, far too large to broadcast at 100× scale."""
+    from ..runtime import cluster_cpus
+    n_parts = max(16, cluster_cpus() * 4)
 
     def urgent_keys(batch: pa.Table) -> pa.Table:
         mask = pc.equal(batch.column("o_orderpriority"), "1-URGENT")
         return (batch.filter(mask).select(["o_custkey"])
                 .group_by("o_custkey").aggregate([]))
 
-    distinct = (_read(sf_dir, "orders",
-                      ["o_custkey", "o_orderpriority"])
-                .map_batches(urgent_keys, batch_format="pyarrow",
-                             batch_size=65536)
-                .groupby("o_custkey").count())
-    custkeys = {r["o_custkey"] for r in distinct.take_all()}
-    ref = ray.put(custkeys)
-
-    def anti(batch: pa.Table) -> pa.Table:
-        keys = ray.get(ref)
-        mask = pa.array([int(k) not in keys
-                         for k in batch.column("c_custkey").to_pylist()])
-        return batch.filter(mask)
-
-    return (_read(sf_dir, "customer", ["c_custkey", "c_name"])
-            .map_batches(anti, batch_format="pyarrow")
-            .sort("c_custkey"))
+    keys = (_read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+            .map_batches(urgent_keys, batch_format="pyarrow",
+                         batch_size=65536))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return _membership_join(
+        cust, keys, key_col="c_custkey", keys_col="o_custkey",
+        payload={"c_name": pa.string()}, anti=True,
+        n_parts=n_parts).sort("c_custkey")
 
 
 # --- per-group top-1 (reference: SINGLE-cardinality keep-best) -----------
@@ -330,9 +432,16 @@ def orders_per_year(sf_dir: str):
 
 def high_value_repeat_customers(sf_dir: str, min_orders: int = 15,
                                 min_balance: float = 0.0):
-    """Customers that appear in BOTH derived sets (intersection via
-    broadcast semi-join): ≥ min_orders orders AND positive balance."""
-    import ray
+    """Customers that appear in BOTH derived sets (intersection as a
+    co-partitioned semi-join): ≥ min_orders orders AND positive
+    balance. The qualifying-key side is computed distributed
+    (in-batch partial counts → global sum → vectorized threshold
+    filter) and stays distributed — it joins the customer side via
+    the tagged-union coarse-pid shuffle, never a driver set. The
+    balance predicate runs vectorized BEFORE the shuffle so only
+    candidate rows move."""
+    from ..runtime import cluster_cpus
+    n_parts = max(16, cluster_cpus() * 4)
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         return (batch.group_by("o_custkey")
@@ -344,27 +453,20 @@ def high_value_repeat_customers(sf_dir: str, min_orders: int = 15,
             .map_batches(partial_counts, batch_format="pyarrow",
                          batch_size=65536)
             .groupby("o_custkey").aggregate(Sum("p_n", alias_name="n")))
-    # threshold applied DISTRIBUTED; only qualifying keys reach the
-    # driver (they are the broadcast side regardless)
     qualifying = many.map_batches(
         lambda b: b.filter(pc.greater_equal(b.column("n"),
                                             min_orders)),
         batch_format="pyarrow")
-    keys = {r["o_custkey"] for r in qualifying.take_all()}
-    ref = ray.put(keys)
 
-    def semi(batch: pa.Table) -> pa.Table:
-        ks = ray.get(ref)
-        mask = pa.array([
-            k in ks and b > min_balance
-            for k, b in zip(batch.column("c_custkey").to_pylist(),
-                            batch.column("c_acctbal").to_pylist())])
-        return batch.filter(mask)
-
-    return (_read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
-            .map_batches(semi, batch_format="pyarrow")
-            .select_columns(["c_custkey", "c_acctbal"])
-            .sort("c_custkey"))
+    cust = (_read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+            .map_batches(
+                lambda b: b.filter(pc.greater(b.column("c_acctbal"),
+                                              min_balance)),
+                batch_format="pyarrow"))
+    return _membership_join(
+        cust, qualifying, key_col="c_custkey", keys_col="o_custkey",
+        payload={"c_acctbal": pa.float64()}, anti=False,
+        n_parts=n_parts).sort("c_custkey")
 
 
 def event_prop_stats(sf_dir: str):
@@ -381,19 +483,28 @@ def event_prop_stats(sf_dir: str):
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         k = json_int_field(df["props"], "k")
+        # SQL semantics: n counts every row (COUNT(*)), sum/min/max
+        # skip nulls and are NULL when the whole group is null —
+        # min_count=1 keeps an all-null partial NA instead of 0, and
+        # the stats stay nullable Int64 end-to-end (never astype
+        # int64, which raises on NA for a group with no integer k)
         g = (pd.DataFrame({"event_type": df["event_type"], "k": k})
              .groupby("event_type", sort=True)["k"]
-             .agg(n="size", sum_k="sum", min_k="min", max_k="max")
+             .agg(n="size",
+                  sum_k=lambda s: s.sum(min_count=1),
+                  min_k="min", max_k="max")
              .reset_index())
         return g
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("event_type", sort=True).agg(
-            n=("n", "sum"), sum_k=("sum_k", "sum"),
+            n=("n", "sum"),
+            sum_k=("sum_k", lambda s: s.sum(min_count=1)),
             min_k=("min_k", "min"), max_k=("max_k", "max"),
         ).reset_index()
-        for c in ("n", "sum_k", "min_k", "max_k"):
-            g[c] = g[c].astype("int64")
+        g["n"] = g["n"].astype("int64")
+        for c in ("sum_k", "min_k", "max_k"):
+            g[c] = g[c].astype("Int64")
         return g
 
     return (ds.map_batches(partial, batch_format="pandas",

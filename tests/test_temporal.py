@@ -37,6 +37,33 @@ def test_temporal_matches_oracle(ray_session, duck, name):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_event_prop_stats_all_null_group(ray_session, tmp_path):
+    """A group whose props never carry an integer ``k`` must yield
+    NULL sum/min/max (SQL semantics), not crash the int64 cast
+    (ADVICE r3, relational.py combine: 'cannot convert NA to
+    integer')."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stanford_relation_extractor_ray.pipelines.relational import \
+        event_prop_stats
+    t = pa.table({
+        "event_type": ["buy", "buy", "view", "view", "view"],
+        "props": ['{"k": 3}', '{"k": 5}',
+                  '{"other": 1}', '{}', '{"k": "notint"}'],
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = (event_prop_stats(str(tmp_path)).to_pandas()
+           .set_index("event_type"))
+    assert got.loc["buy", "n"] == 2
+    assert got.loc["buy", "sum_k"] == 8
+    assert got.loc["buy", "min_k"] == 3
+    assert got.loc["view", "n"] == 3
+    assert pd.isna(got.loc["view", "sum_k"])
+    assert pd.isna(got.loc["view", "min_k"])
+    assert pd.isna(got.loc["view", "max_k"])
+
+
 def test_sessions_cover_all_events(ray_session, duck):
     """Sessionization is a partition of the log: per-session counts
     must sum back to the table's row count."""
