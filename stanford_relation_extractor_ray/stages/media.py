@@ -142,6 +142,9 @@ def decode_image_meta(payload: bytes, fmt: str) -> tuple[int, int, int]:
                 h = int.from_bytes(payload[i + 5:i + 7], "big")
                 w = int.from_bytes(payload[i + 7:i + 9], "big")
                 return w, h, payload[i + 9]
+            if marker == 0xFF:          # fill/pad byte, not a marker
+                i += 1
+                continue
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2
                 continue
@@ -222,9 +225,11 @@ def decode_image_pixels(payload: bytes) -> np.ndarray:
     if fmt == "png":
         import zlib as _z
         w, h, ch = decode_image_meta(payload, "png")
-        if payload[24] != 8 or payload[28] != 0:
+        if payload[24] != 8 or payload[28] != 0 or payload[25] == 3:
+            # color type 3 (palette) would otherwise fall through and
+            # return palette INDICES as grayscale pixels
             raise NotImplementedError(
-                "only 8-bit non-interlaced PNG")
+                "only 8-bit non-interlaced gray/RGB/RGBA PNG")
         idat = b""
         pos = 8
         while pos + 8 <= len(payload):
@@ -388,20 +393,29 @@ class ImageResizer:
             new_w.append(nw)
             new_h.append(nh)
             fmt = sniff_format(payload)
-            if fmt in ("png", "bmp", "pnm"):
-                px = decode_image_pixels(payload)
-                if px.shape[2] == 4:          # drop alpha for PNM
-                    px = px[:, :, :3]
-                elif px.shape[2] == 2:
-                    px = px[:, :, :1]
-                ys = (np.arange(nh) * (hi / nh)).astype(np.int64)
-                xs = (np.arange(nw) * (wi / nw)).astype(np.int64)
-                thumbs.append(encode_ppm(
-                    np.ascontiguousarray(px[ys][:, xs])))
-            else:
+            thumb = None
+            if fmt in ("png", "bmp", "pnm", "jpeg"):
+                # sniffable-but-unsupported variants (palette PNG,
+                # 32bpp BMP, truncated payloads) must degrade to the
+                # stub like any other undecodable payload, not kill
+                # the whole stage
+                try:
+                    px = decode_image_pixels(payload)
+                    if px.shape[2] == 4:      # drop alpha for PNM
+                        px = px[:, :, :3]
+                    elif px.shape[2] == 2:
+                        px = px[:, :, :1]
+                    ys = (np.arange(nh) * (hi / nh)).astype(np.int64)
+                    xs = (np.arange(nw) * (wi / nw)).astype(np.int64)
+                    thumb = encode_ppm(
+                        np.ascontiguousarray(px[ys][:, xs]))
+                except (NotImplementedError, ValueError):
+                    thumb = None
+            if thumb is None:
                 raw = hashlib.blake2b(f"{ref}|{nw}x{nh}".encode(),
                                       digest_size=32).digest()
-                thumbs.append(raw * max(1, (nw * nh) // 2048))
+                thumb = raw * max(1, (nw * nh) // 2048)
+            thumbs.append(thumb)
         out = imgs.drop_columns(["payload", "width", "height"])
         out = out.append_column("width", pa.array(new_w, pa.int32()))
         out = out.append_column("height", pa.array(new_h, pa.int32()))

@@ -589,16 +589,24 @@ def repair_provenance(fills, sentences, *, aliases=None):
             repaired[key] = cand
     if not repaired:
         return out
-    repaired_ref = ray.put(repaired)
+    # patch ONLY the rows found weak — keyed by the full
+    # (triple, original provenance) identity, so a duplicate triple
+    # whose own provenance was already strong keeps it instead of
+    # being overwritten by its weak sibling's repair
+    weak_ids = {(r["subj"], r["pred"], r["obj"],
+                 r["doc_id"], r["sent_idx"]) for r in weak}
+    repaired_ref = ray.put((repaired, weak_ids))
 
     def patch(batch: pa.Table) -> pa.Table:
-        rep = ray.get(repaired_ref)
+        rep, wids = ray.get(repaired_ref)
         subj = batch.column("subj").to_pylist()
         pred = batch.column("pred").to_pylist()
         obj = batch.column("obj").to_pylist()
         docs = batch.column("doc_id").to_pylist()
         sents = batch.column("sent_idx").to_pylist()
         for i, key in enumerate(zip(subj, pred, obj)):
+            if key + (docs[i], sents[i]) not in wids:
+                continue
             hit = rep.get(key)
             if hit is not None:
                 docs[i] = hit[1]

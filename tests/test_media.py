@@ -253,3 +253,60 @@ def test_pnm_decode_with_maxval_digits_in_dimensions():
         .reshape(2, 255, 3)
     payload = b"P6\n# 255 note\n255 2\n255\n" + px.tobytes()
     assert np.array_equal(decode_image_pixels(payload), px)
+
+
+def test_palette_png_rejected_not_grayscale():
+    """Color type 3 (palette) must raise — otherwise the palette
+    INDICES would be returned as grayscale pixels (ADVICE r3)."""
+    import pytest
+    from stanford_relation_extractor_ray.stages.media import \
+        decode_image_pixels
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", _zlib.crc32(tag + data)))
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)   # ct=3
+    plte = bytes(range(12))
+    idat = _zlib.compress(b"\x00\x01\x02\x00\x03\x00")
+    payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"PLTE", plte) + chunk(b"IDAT", idat)
+               + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError):
+        decode_image_pixels(payload)
+
+
+def test_jpeg_sof_scan_skips_fill_bytes():
+    """0xFF fill/pad bytes before a marker must advance one byte, not
+    read a bogus segment length from the padding (ADVICE r3)."""
+    from stanford_relation_extractor_ray.stages.media import \
+        decode_image_meta
+    sof = (b"\xff\xc0" + struct.pack(">H", 11)
+           + b"\x08" + struct.pack(">HH", 5, 9) + b"\x03"
+           + b"\x01\x11\x00")
+    # APP0 with fill bytes between SOI and the real SOF marker
+    payload = (b"\xff\xd8" + b"\xff\xff\xff\xff" + sof
+               + b"\xff\xd9")
+    assert decode_image_meta(payload, "jpeg") == (9, 5, 3)
+
+
+def test_resizer_falls_back_to_stub_on_undecodable(ray_session):
+    """A sniffable-but-unsupported real image (32bpp BMP) must get the
+    deterministic stub thumbnail, not kill the stage (ADVICE r3)."""
+    import ray.data as rd
+    from stanford_relation_extractor_ray.stages.media import (
+        ImageResizer, sniff_format)
+    # 32bpp BMP header (decode_image_meta → ch=4 → NotImplementedError
+    # in decode_image_pixels)
+    header = (b"BM" + struct.pack("<IHHI", 54 + 16, 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 32, 0,
+                            16, 2835, 2835, 0, 0)) + b"\x00" * 16
+    assert sniff_format(header) == "bmp"
+    items = rd.from_items([{
+        "doc_id": "d1", "span_seq": 0, "kind": "image",
+        "media_ref": "media://real/x.bmp", "payload": header,
+        "width": 2, "height": 2}])
+    out = items.map_batches(ImageResizer,
+                            fn_constructor_kwargs={"max_side": 50},
+                            batch_format="pyarrow",
+                            concurrency=1).take_all()
+    assert len(out) == 1 and len(out[0]["payload"]) > 0

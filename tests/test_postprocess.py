@@ -238,6 +238,30 @@ def test_repair_provenance(ray_session):
     assert ("org:founded_by", "dA", 0) in out
 
 
+def test_repair_provenance_strong_sibling_untouched(ray_session):
+    """Duplicate triples with distinct provenance: only the WEAK row
+    is patched; the sibling whose own provenance already supports the
+    fill keeps it — the patch is keyed on (triple, original
+    provenance), not the triple alone (ADVICE r3)."""
+    import ray.data as rd
+    sentences = rd.from_items([
+        {"doc_id": "dA", "sent_idx": 0,
+         "text": "Acme Corp announced that Jane Doe would continue "
+                 "to serve on the board of directors ."},  # supports
+        {"doc_id": "dA", "sent_idx": 1,
+         "text": "Jane Doe leads Acme Corp ."},   # shortest support
+        {"doc_id": "dB", "sent_idx": 0,
+         "text": "Markets were mixed on Tuesday ."},
+    ])
+    fills = rd.from_items([
+        _fill(doc_id="dA", sent_idx=0),   # strong: keep dA,0
+        _fill(doc_id="dB", sent_idx=0),   # weak: repair to dA,1
+    ])
+    out = sorted((r["doc_id"], r["sent_idx"]) for r in
+                 P.repair_provenance(fills, sentences).take_all())
+    assert out == [("dA", 0), ("dA", 1)]
+
+
 def test_repair_provenance_no_support_keeps_original(ray_session):
     import ray.data as rd
     sentences = rd.from_items([
