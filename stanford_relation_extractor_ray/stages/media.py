@@ -91,10 +91,11 @@ def extract_media(documents):
 
 
 # --------------------------------------------------------------------------
-# real pure-stdlib codecs: PNG / BMP / PNM / WAV / JPEG headers, plus
-# full pixel decode for PNG (8-bit, non-interlaced), BMP (24-bit
-# uncompressed) and PNM — no external libraries required, so REAL
-# media bytes decode end-to-end in this container
+# real pure-stdlib codecs: full pixel decode for PNG (8-bit,
+# non-interlaced), BMP (24-bit uncompressed), PNM, and baseline JPEG
+# (stages/jpegcodec.py), plus WAV / JPEG header parsing — no external
+# libraries required, so REAL media bytes decode end-to-end in this
+# container
 # --------------------------------------------------------------------------
 
 def sniff_format(payload: bytes) -> str | None:
@@ -200,9 +201,15 @@ def decode_image_pixels(payload: bytes) -> np.ndarray:
 
     Real formats covered: PNG (8-bit gray/RGB/RGBA, non-interlaced;
     zlib inflate + per-row unfilter), BMP (24-bit uncompressed,
-    bottom-up or top-down), PNM P5/P6 (binary).
+    bottom-up or top-down), PNM P5/P6 (binary), and baseline
+    sequential JPEG (any sampling grid, restart markers — see
+    ``stages/jpegcodec.py``; progressive JPEG stays the documented
+    ``NotImplementedError`` seam).
     """
     fmt = sniff_format(payload)
+    if fmt == "jpeg":
+        from .jpegcodec import decode_jpeg
+        return decode_jpeg(payload)
     if fmt == "pnm":
         toks, hdr_end = _pnm_header_tokens(payload)
         w, h = int(toks[1]), int(toks[2])
@@ -369,8 +376,9 @@ def decode(media_items, *, concurrency=None, batch_size: int = 64):
 # --------------------------------------------------------------------------
 
 class ImageResizer:
-    """Thumbnailer: decodable real images (PNG/BMP/PNM pixel decoders
-    above) are ACTUALLY downsampled (nearest-neighbor) and re-encoded
+    """Thumbnailer: decodable real images (PNG/BMP/PNM/baseline-JPEG
+    pixel decoders above) are ACTUALLY downsampled (nearest-neighbor)
+    and re-encoded
     as binary PNM; synthetic payloads keep the deterministic stand-in
     (a payload whose length tracks the target area). Metadata updates
     to the aspect-preserving fit box either way."""

@@ -310,3 +310,94 @@ def test_resizer_falls_back_to_stub_on_undecodable(ray_session):
                             batch_format="pyarrow",
                             concurrency=1).take_all()
     assert len(out) == 1 and len(out[0]["payload"]) > 0
+
+
+# ---- baseline JPEG codec (stages/jpegcodec.py) ----------------------
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([np.clip(xx * 4, 0, 255), np.clip(yy * 4, 0, 255),
+                     np.clip(xx * 2 + yy * 2, 0, 255)],
+                    axis=-1).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_444_and_gray():
+    from stanford_relation_extractor_ray.stages.jpegcodec import (
+        decode_jpeg, encode_jpeg)
+    px = _gradient(33, 47)
+    dec = decode_jpeg(encode_jpeg(px, quality=95))
+    assert dec.shape == (33, 47, 3)
+    assert np.abs(dec.astype(int) - px.astype(int)).max() <= 4
+    g = px[:, :, 0]
+    dg = decode_jpeg(encode_jpeg(g, quality=95))
+    assert dg.shape == (33, 47, 1)
+    assert np.abs(dg[:, :, 0].astype(int) - g.astype(int)).max() <= 2
+    solid = np.full((16, 24, 3), [120, 60, 200], dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(solid, quality=90)),
+                          solid)
+
+
+def test_jpeg_roundtrip_420_and_restart():
+    from stanford_relation_extractor_ray.stages.jpegcodec import (
+        decode_jpeg, encode_jpeg)
+    px = _gradient(33, 47)
+    dec = decode_jpeg(encode_jpeg(px, quality=95, subsample=True))
+    assert dec.shape == (33, 47, 3)
+    assert np.abs(dec.astype(int) - px.astype(int)).max() <= 8
+    # restart markers must not change the decoded pixels
+    a = decode_jpeg(encode_jpeg(px, quality=95, restart_interval=3))
+    b = decode_jpeg(encode_jpeg(px, quality=95))
+    assert np.array_equal(a, b)
+
+
+def test_jpeg_noise_entropy_paths():
+    """Random pixels at q100 stress ZRL runs and 0xFF byte
+    stuffing/destuffing."""
+    from stanford_relation_extractor_ray.stages.jpegcodec import (
+        decode_jpeg, encode_jpeg)
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(24, 17, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(px, quality=100))
+    assert np.abs(dec.astype(int) - px.astype(int)).max() <= 3
+
+
+def test_jpeg_progressive_is_the_seam():
+    import pytest
+    from stanford_relation_extractor_ray.stages.jpegcodec import (
+        decode_jpeg, encode_jpeg)
+    payload = bytearray(encode_jpeg(_gradient(8, 8)))
+    i = payload.index(b"\xff\xc0")
+    payload[i + 1] = 0xC2                     # rewrite SOF0 → SOF2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(payload))
+
+
+def test_jpeg_flows_through_decode_and_resize(ray_session):
+    """A real JPEG payload gets REAL pixel thumbnails through the
+    decode → resize actor-pool stages (the round-3 seam where JPEG got
+    stub thumbs)."""
+    import ray.data as rd
+    from stanford_relation_extractor_ray.stages.jpegcodec import \
+        encode_jpeg
+    from stanford_relation_extractor_ray.stages.media import (
+        ImageResizer, MediaDecoder, decode_image_pixels)
+    px = _gradient(40, 100)
+    items = rd.from_items([{
+        "doc_id": "d1", "span_seq": 0, "kind": "image",
+        "media_ref": "media://real/1.jpg",
+        "payload": encode_jpeg(px, quality=95, subsample=True)}])
+    decoded = items.map_batches(MediaDecoder, batch_format="pyarrow",
+                                concurrency=1)
+    out = decoded.map_batches(ImageResizer,
+                              fn_constructor_kwargs={"max_side": 50},
+                              batch_format="pyarrow",
+                              concurrency=1).take_all()
+    assert out[0]["width"] == 50 and out[0]["height"] == 20
+    thumb = decode_image_pixels(out[0]["payload"])
+    assert thumb.shape == (20, 50, 3)
+    # nearest-neighbor downsample of the (lossy) decoded pixels
+    full = decode_image_pixels(encode_jpeg(px, quality=95,
+                                           subsample=True))
+    ys = (np.arange(20) * 2).astype(int)
+    xs = (np.arange(50) * 2).astype(int)
+    assert np.array_equal(thumb, full[ys][:, xs])
