@@ -114,14 +114,24 @@ def propagate_components(pairs, *, max_iter: int = 50) -> list[dict]:
     the clusters are entity-name variant sets, so the graph diameter is
     tiny and the loop converges in a handful of rounds).
 
-    Each round is ONE coarse-pid tagged-union shuffle: edges and the
-    current label table co-partition on the node key, each partition
-    emits min-label messages across its edges, and a per-node min
-    reduce (same shuffle) produces the next label table plus a changed
-    count. Edges are routed by BOTH endpoints so every edge sees both
-    labels without a second pass. Returns the final (node → root)
-    assignment rows (``a``/``b`` name|type keys → ``root``) — bounded
-    by 2·|pairs|, the same driver bound union-find had.
+    Each round is ONE destination-addressed shuffle. State rows carry
+    the node's current label AND its adjacency list; the per-round map
+    emits min-label messages straight to their destination pid (no
+    label-lookup co-partition pass — the label rides with the
+    adjacency), and a single ``groupby(pid)`` reduce takes the per-node
+    min, re-assembles the adjacency, and counts changes. Pointer
+    jumping is expressed as edge ADDITION: each round a node links to
+    its current label node (both directions — the reverse edge arrives
+    via the message's ``add`` field), so chains collapse in
+    O(log diameter) rounds (golden-ratio base: the reverse link lands
+    one round late). Adding intra-component edges never changes the
+    fixpoint (min label per component), so equality with union-find is
+    preserved; accumulated adjacency is bounded by component size,
+    which for entity-variant clusters is tiny.
+
+    Returns the final (node → root) assignment rows (``a``/``b``
+    name|type keys → ``root``) — bounded by 2·|pairs|, the same driver
+    bound union-find had.
     """
     import pandas as pd
 
@@ -141,99 +151,71 @@ def propagate_components(pairs, *, max_iter: int = 50) -> list[dict]:
         return pa.table({"ka": pa.array(ka + kb, pa.string()),
                          "kb": pa.array(kb + ka, pa.string())})
 
-    # both-direction edges, deduped per coarse partition; stays
-    # materialized across rounds
-    edges = pairs.map_batches(to_edges,
-                              batch_format="pyarrow").materialize()
+    def init_group(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.drop_duplicates(["ka", "kb"])
+             .sort_values(["ka", "kb"])
+             .groupby("ka", sort=True)["kb"].agg(list))
+        return pd.DataFrame({"node": g.index.to_numpy(),
+                             "label": g.index.to_numpy(),
+                             "nbrs": g.to_numpy()})
 
-    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({"node": df["ka"].unique()})
-        out["label"] = out["node"]
+    # state: (node, label, nbrs) — one init shuffle groups the
+    # bidirectional edge list into per-node adjacency
+    state = (pairs.map_batches(to_edges, batch_format="pyarrow")
+             .map_batches(lambda df: df.assign(pid=_pid(df["ka"])),
+                          batch_format="pandas")
+             .groupby("pid")
+             .map_groups(init_group, batch_format="pandas")
+             .materialize())
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        """One state row → destination-addressed messages:
+        - self rows (own=label) re-seed the node, carrying its
+          adjacency (plus the new label link) in ``add``;
+        - neighbour rows send the label across each edge and carry the
+          reverse edge in ``add``;
+        - pointer rows link node ↔ current label (edge addition)."""
+        ex = df[["node", "label", "nbrs"]].explode("nbrs")
+        ex = ex[ex["nbrs"].notna()]
+        ptr = df[df["label"] != df["node"]]
+        out = pd.concat([
+            pd.DataFrame({"dest": df["node"], "cand": df["label"],
+                          "own": df["label"], "add": ""}),
+            pd.DataFrame({"dest": ex["node"], "cand": ex["label"],
+                          "own": ex["label"], "add": ex["nbrs"]}),
+            pd.DataFrame({"dest": ptr["node"], "cand": ptr["label"],
+                          "own": ptr["label"], "add": ptr["label"]}),
+            pd.DataFrame({"dest": ex["nbrs"], "cand": ex["label"],
+                          "own": "", "add": ex["node"]}),
+            pd.DataFrame({"dest": ptr["label"], "cand": ptr["label"],
+                          "own": "", "add": ptr["node"]}),
+        ], ignore_index=True)
+        out["pid"] = _pid(out["dest"])
         return out
 
-    def dedupe_nodes(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates("node")
-
-    labels = (edges.map_batches(init_labels, batch_format="pandas")
-              .map_batches(lambda df: df.assign(pid=_pid(df["node"])),
-                           batch_format="pandas")
-              .groupby("pid")
-              .map_groups(dedupe_nodes, batch_format="pandas")
-              .select_columns(["node", "label"])
-              .materialize())
+    def reduce_min(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("dest", sort=True)
+        new = g["cand"].min()
+        old = g["own"].max()          # "" sorts below any label
+        adds = (df.loc[(df["add"] != "") & (df["add"] != df["dest"]),
+                       ["dest", "add"]]
+                .drop_duplicates()
+                .sort_values(["dest", "add"])
+                .groupby("dest", sort=True)["add"].agg(list)
+                .reindex(new.index))
+        return pd.DataFrame({
+            "node": new.index.to_numpy(), "label": new.to_numpy(),
+            "nbrs": [a if isinstance(a, list) else [] for a in adds],
+            "changed": (new.to_numpy() != old.to_numpy())
+            .astype("int64")})
 
     converged = False
     for _ in range(max_iter):
-        def tag_label(df: pd.DataFrame) -> pd.DataFrame:
-            base = pd.DataFrame({
-                "node": df["node"], "peer": "", "label": df["label"],
-                "side": "L"})
-            # pointer-jumping links (hash-to-min): each node also
-            # exchanges labels with its CURRENT label node, so chains
-            # collapse in O(log diameter) rounds instead of
-            # O(diameter); the fixpoint (min label per component) is
-            # unchanged. Emitted from the same map as the L rows —
-            # a third concurrent union branch over `labels` can
-            # stall the streaming executor (see the two-pool note in
-            # official_eval/run_kg).
-            d = df[df["label"] != df["node"]]
-            node = pd.concat([d["node"], d["label"]],
-                             ignore_index=True)
-            peer = pd.concat([d["label"], d["node"]],
-                             ignore_index=True)
-            links = pd.DataFrame({
-                "node": node, "peer": peer,
-                "label": pd.Series([""] * len(node), dtype=object),
-                "side": "E"})
-            out = pd.concat([base, links], ignore_index=True)
-            out["pid"] = _pid(out["node"])
-            return out
-
-        def tag_edge(df: pd.DataFrame) -> pd.DataFrame:
-            # routed by ka: this partition holds label[ka]; the
-            # reverse direction row handles label[kb]'s side
-            return pd.DataFrame({
-                "node": df["ka"], "peer": df["kb"], "label": "",
-                "side": "E", "pid": _pid(df["ka"])})
-
-        def send(df: pd.DataFrame) -> pd.DataFrame:
-            """partition: label lookup for its nodes; each edge (ka →
-            kb) sends label[ka] to kb; nodes keep their own label."""
-            lmap = dict(zip(df.loc[df["side"] == "L", "node"],
-                            df.loc[df["side"] == "L", "label"]))
-            e = df[df["side"] == "E"]
-            msgs = pd.DataFrame({
-                "node": e["peer"],
-                "cand": e["node"].map(lmap).fillna(e["node"]),
-                "own": ""})
-            own = df[df["side"] == "L"]
-            keep = pd.DataFrame({"node": own["node"],
-                                 "cand": own["label"],
-                                 "own": own["label"]})
-            return pd.concat([msgs, keep], ignore_index=True)
-
-        def reduce_min(df: pd.DataFrame) -> pd.DataFrame:
-            g = df.groupby("node", sort=True)
-            new = g["cand"].min()
-            old = g["own"].max()          # "" sorts below any label
-            out = pd.DataFrame({"node": new.index, "label": new.values,
-                                "changed": (new.values != old.values)
-                                .astype("int64")})
-            return out
-
-        nxt = (labels.map_batches(tag_label, batch_format="pandas")
-               .union(edges.map_batches(tag_edge,
-                                        batch_format="pandas"))
-               .groupby("pid")
-               .map_groups(send, batch_format="pandas")
-               .map_batches(lambda df: df.assign(pid=_pid(df["node"])),
-                            batch_format="pandas")
-               .groupby("pid")
-               .map_groups(reduce_min, batch_format="pandas")
-               .materialize())
-        changed = nxt.sum("changed")
-        labels = nxt.select_columns(["node", "label"]).materialize()
-        if not changed:
+        state = (state.map_batches(emit, batch_format="pandas")
+                 .groupby("pid")
+                 .map_groups(reduce_min, batch_format="pandas")
+                 .materialize())
+        if not state.sum("changed"):
             converged = True
             break
     if not converged:
@@ -243,7 +225,8 @@ def propagate_components(pairs, *, max_iter: int = 50) -> list[dict]:
             f"pointer-jumping bound; raise max_iter")
 
     # columnar collect — take_all on pandas blocks is per-row-priced
-    return labels.to_pandas().to_dict("records")
+    return (state.select_columns(["node", "label"])
+            .to_pandas().to_dict("records"))
 
 
 # surfaces-table size below which blocking + pairwise linking +
