@@ -15,11 +15,28 @@ compositions for them (SURVEY.md §2.11 streaming-shaped workloads):
 All three follow the same scale shape: ONE hash shuffle on the join /
 window key (coarse pids, O(CPUs) Ray groups — never one group per
 key), then a fully vectorized pandas kernel inside each partition
-(``merge_asof`` / ``merge``+mask / ``diff``+``cumsum``). The
+(``merge_asof`` / ``merge``+mask / ``diff``+``cumsum``). The default
 partitioning assumption is that a single key's rows fit in one
-partition's memory — true for per-customer order/event history at any
-corpus scale; a hot key would be handled by salting the pid and a
-second combine, as ``stages/bags.py`` does for hot entities.
+partition's memory — true for per-customer order/event history on
+this corpus. For skewed logs (a bot/celebrity user holding a large
+share of events) the window/session operators take
+``salt_chunk_minutes``: the shuffle key becomes ``(user, time-chunk)``
+so a hot user's history splits across partitions.
+
+- Window operators (``purchase_attribution``, ``rolling_user_value``)
+  stay EXACT under salting by boundary-strip replication: with
+  ``chunk >= window``, an event within ``window`` of its chunk's end
+  is also shipped to the next chunk as context (≤2× the strip, never
+  the whole key), so every primary row sees its full window locally.
+- ``event_sessions`` sessionizes within each chunk, then stitches in
+  a second per-user shuffle over SESSION SUMMARIES (two time-disjoint
+  partial sessions merge iff ``start_next - end_prev <= gap`` — the
+  within-chunk splits already exceed the gap, so one rule covers
+  both). The stitch stage's memory bound is the hot user's session
+  count, not its event count; value sums ride as int64 cents so the
+  merged sum is order-exact (``sum_value`` = cents/100.0, equal to
+  the unsalted float sum after the cents rounding every consumer of
+  this operator applies — see ``__ray_entry__._cents``).
 
 Determinism: every tie (equal order dates, equal event timestamps) is
 broken on the integer key (`o_orderkey`, `event_id`) so output is
@@ -139,7 +156,23 @@ def events_asof_order(sf_dir: str):
 
 # --- range (interval) join -----------------------------------------------
 
-def purchase_attribution(sf_dir: str, window_minutes: int = 60):
+def _chunk_of(ts: np.ndarray, chunk_sec: int) -> np.ndarray:
+    """Time-chunk index of each timestamp (int64 seconds // chunk)."""
+    return (ts.astype("datetime64[s]").astype(np.int64) // chunk_sec)
+
+
+def _boundary_ctx(ts: np.ndarray, ci: np.ndarray, chunk_sec: int,
+                  span_sec: int) -> np.ndarray:
+    """Mask of rows within ``span`` of their chunk's end — replicated
+    to the next chunk as window context under salting. Compared in
+    microseconds: second-truncation could miss a fractional-second
+    row sitting exactly ``span`` before the boundary."""
+    us = ts.astype("datetime64[us]").astype(np.int64)
+    return ((ci + 1) * chunk_sec - span_sec) * 1_000_000 <= us
+
+
+def purchase_attribution(sf_dir: str, window_minutes: int = 60,
+                         salt_chunk_minutes: int | None = None):
     """Attribution range join on the event log: for each ``purchase``
     event, the same user's ``click``/``view`` touches with ``ts`` in
     ``[purchase.ts - window, purchase.ts)``, aggregated per purchase
@@ -154,20 +187,47 @@ def purchase_attribution(sf_dir: str, window_minutes: int = 60):
     plus prefix-sum differences — O((p+t)·log t) per user, never the
     p×t interval cross-merge, so a hot user (many purchases AND many
     touches) costs linearithmic, not quadratic. Sums run over int64
-    cents, making them order-exact."""
+    cents, making them order-exact.
+
+    ``salt_chunk_minutes`` (>= the window) switches the shuffle key to
+    ``(user, time-chunk)``: touches within ``window`` of a chunk's end
+    are also shipped to the next chunk as context rows, so every
+    purchase still sees its exact window locally — byte-identical
+    output with a hot user's history split across partitions."""
     n_parts = _n_parts()
     ds = _read(sf_dir, "events",
                ["event_id", "user_id", "ts", "event_type", "value"])
     span = np.timedelta64(window_minutes * 60, "s")
+    span_sec = window_minutes * 60
+    chunk_sec = (salt_chunk_minutes * 60 if salt_chunk_minutes else 0)
+    if salt_chunk_minutes and salt_chunk_minutes < window_minutes:
+        raise ValueError("salt_chunk_minutes must be >= window_minutes")
 
     def add_pid(batch: pa.Table) -> pa.Table:
         et = batch.column("event_type")
         keep = pa.compute.is_in(
             et, value_set=pa.array(["purchase", "click", "view"]))
         batch = batch.filter(keep)
-        pid = (batch.column("user_id").to_numpy()
-               % n_parts).astype(np.int32)
-        return batch.append_column("pid", pa.array(pid))
+        user = batch.column("user_id").to_numpy()
+        if not salt_chunk_minutes:
+            batch = batch.append_column(
+                "ci", pa.array(np.zeros(len(user), np.int64)))
+            pid = (user % n_parts).astype(np.int32)
+            return batch.append_column("pid", pa.array(pid))
+        ts = batch.column("ts").to_numpy()
+        ci = _chunk_of(ts, chunk_sec)
+        is_touch = pa.compute.not_equal(
+            batch.column("event_type"), "purchase").to_numpy(
+            zero_copy_only=False)
+        ctx = _boundary_ctx(ts, ci, chunk_sec, span_sec) & is_touch
+        prim = batch.append_column("ci", pa.array(ci))
+        rep = batch.filter(pa.array(ctx)).append_column(
+            "ci", pa.array(ci[ctx] + 1))
+        out = pa.concat_tables([prim, rep])
+        key = (out.column("user_id").to_numpy() * np.int64(1000003)
+               + out.column("ci").to_numpy())
+        pid = (key % n_parts).astype(np.int32)
+        return out.append_column("pid", pa.array(pid))
 
     def window_agg(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({
@@ -175,14 +235,18 @@ def purchase_attribution(sf_dir: str, window_minutes: int = 60):
             "n_touches": pd.Series(dtype="int64"),
             "sum_touch_value": pd.Series(dtype="float64"),
         })
+        # segment key: (user, chunk) — ci is constant 0 unsalted, so
+        # the composite collapses to plain per-user segments there
+        df = df.assign(
+            gk=df.groupby(["user_id", "ci"], sort=True).ngroup())
         p = df[df["event_type"] == "purchase"] \
-            .sort_values(["user_id", "ts"], kind="mergesort")
+            .sort_values(["gk", "ts"], kind="mergesort")
         t = df[df["event_type"] != "purchase"] \
-            .sort_values(["user_id", "ts"], kind="mergesort")
+            .sort_values(["gk", "ts"], kind="mergesort")
         if len(p) == 0 or len(t) == 0:
             return empty
-        pu, pts = p["user_id"].to_numpy(), p["ts"].to_numpy()
-        tu, tts = t["user_id"].to_numpy(), t["ts"].to_numpy()
+        pu, pts = p["gk"].to_numpy(), p["ts"].to_numpy()
+        tu, tts = t["gk"].to_numpy(), t["ts"].to_numpy()
         cents = np.rint(t["value"].to_numpy() * 100).astype(np.int64)
         csum = np.r_[0, np.cumsum(cents)]
         # each purchase's touch range: the user's touch segment
@@ -193,7 +257,7 @@ def purchase_attribution(sf_dir: str, window_minutes: int = 60):
         lo = np.empty(len(p), dtype=np.int64)
         hi = np.empty(len(p), dtype=np.int64)
         seg = np.unique(np.stack([us, ue]), axis=1)
-        for s, e in seg.T:          # one iteration per distinct user
+        for s, e in seg.T:     # one iteration per (user, chunk) segment
             # match on BOTH bounds: a touch-less user (s == e) may
             # share its insertion point with a real segment's start
             m = (us == s) & (ue == e)
@@ -221,7 +285,8 @@ def purchase_attribution(sf_dir: str, window_minutes: int = 60):
 
 # --- sliding (RANGE) window aggregate ------------------------------------
 
-def rolling_user_value(sf_dir: str, window_minutes: int = 60):
+def rolling_user_value(sf_dir: str, window_minutes: int = 60,
+                       salt_chunk_minutes: int | None = None):
     """Per-event sliding-window aggregate: for each event, the count
     and value-sum of the same user's events with ``ts`` in
     ``[ts - window, ts]`` — SQL ``RANGE BETWEEN INTERVAL w PRECEDING
@@ -234,26 +299,56 @@ def rolling_user_value(sf_dir: str, window_minutes: int = 60):
     Sums are integer cents (values are 2-decimal), so the window sum
     is a set function of timestamps alone: no float-order ulp can
     flip the output between partitionings (the round-2 lesson).
+
+    ``salt_chunk_minutes`` (>= the window) switches the shuffle key to
+    ``(user, time-chunk)`` with boundary-strip context replication —
+    byte-identical output, hot-user history split across partitions.
     """
     n_parts = _n_parts()
     span = np.timedelta64(window_minutes * 60, "s")
+    span_sec = window_minutes * 60
+    chunk_sec = (salt_chunk_minutes * 60 if salt_chunk_minutes else 0)
+    if salt_chunk_minutes and salt_chunk_minutes < window_minutes:
+        raise ValueError("salt_chunk_minutes must be >= window_minutes")
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
     def add_pid(batch: pa.Table) -> pa.Table:
-        pid = (batch.column("user_id").to_numpy()
-               % n_parts).astype(np.int32)
-        return batch.append_column("pid", pa.array(pid))
+        user = batch.column("user_id").to_numpy()
+        n = batch.num_rows
+        if not salt_chunk_minutes:
+            batch = batch.append_column(
+                "ci", pa.array(np.zeros(n, np.int64)))
+            batch = batch.append_column(
+                "ctx", pa.array(np.zeros(n, bool)))
+            pid = (user % n_parts).astype(np.int32)
+            return batch.append_column("pid", pa.array(pid))
+        ts = batch.column("ts").to_numpy()
+        ci = _chunk_of(ts, chunk_sec)
+        rep_mask = _boundary_ctx(ts, ci, chunk_sec, span_sec)
+        prim = (batch.append_column("ci", pa.array(ci))
+                .append_column("ctx", pa.array(np.zeros(n, bool))))
+        rep = batch.filter(pa.array(rep_mask))
+        rep = (rep.append_column("ci", pa.array(ci[rep_mask] + 1))
+               .append_column(
+                   "ctx", pa.array(np.ones(rep.num_rows, bool))))
+        out = pa.concat_tables([prim, rep])
+        key = (out.column("user_id").to_numpy() * np.int64(1000003)
+               + out.column("ci").to_numpy())
+        pid = (key % n_parts).astype(np.int32)
+        return out.append_column("pid", pa.array(pid))
 
     def window(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["user_id", "ts", "event_id"],
+        df = df.sort_values(["user_id", "ci", "ts", "event_id"],
                             kind="mergesort")
         user = df["user_id"].to_numpy()
+        ci = df["ci"].to_numpy()
         ts = df["ts"].to_numpy()
         cents = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
         n = len(df)
         w_count = np.empty(n, dtype=np.int64)
         w_sum = np.empty(n, dtype=np.int64)
-        bounds = np.flatnonzero(np.r_[True, user[1:] != user[:-1]])
+        bounds = np.flatnonzero(np.r_[True, (user[1:] != user[:-1])
+                                      | (ci[1:] != ci[:-1])])
         bounds = np.r_[bounds, n]
         for s, e in zip(bounds[:-1], bounds[1:]):
             seg_ts = ts[s:e]
@@ -262,11 +357,12 @@ def rolling_user_value(sf_dir: str, window_minutes: int = 60):
             hi = np.searchsorted(seg_ts, seg_ts, side="right")
             w_count[s:e] = hi - lo
             w_sum[s:e] = csum[hi] - csum[lo]
+        prim = ~df["ctx"].to_numpy()
         return pd.DataFrame({
-            "event_id": df["event_id"].to_numpy(),
-            "user_id": user,
-            "w_count": w_count,
-            "w_sum_cents": w_sum,
+            "event_id": df["event_id"].to_numpy()[prim],
+            "user_id": user[prim],
+            "w_count": w_count[prim],
+            "w_sum_cents": w_sum[prim],
         })
 
     return (ds.map_batches(add_pid, batch_format="pyarrow",
@@ -278,7 +374,8 @@ def rolling_user_value(sf_dir: str, window_minutes: int = 60):
 
 # --- gap-based session windows -------------------------------------------
 
-def event_sessions(sf_dir: str, gap_minutes: int = 30):
+def event_sessions(sf_dir: str, gap_minutes: int = 30,
+                   salt_chunk_minutes: int | None = None):
     """Per-user sessionization: a new session starts when the gap to
     the previous event (ordered by ``(ts, event_id)``) exceeds
     ``gap_minutes``. Emits per-session ``(user_id, session_id,
@@ -290,10 +387,26 @@ def event_sessions(sf_dir: str, gap_minutes: int = 30):
     ``cumsum`` the session-break flags. Session state never crosses a
     partition because users don't; no watermark machinery is needed on
     a bounded log (SURVEY.md §2.11).
+
+    ``salt_chunk_minutes`` splits a hot user across ``(user,
+    time-chunk)`` partitions: each chunk sessionizes locally, then a
+    second per-user shuffle over SESSION SUMMARIES stitches boundary
+    sessions (merge iff ``start_next - end_prev <= gap`` — chunk
+    partials are time-disjoint and within-chunk splits already exceed
+    the gap, so the one rule is exact) and renumbers 1..k. The stitch
+    stage holds a user's session count, not its event count; value
+    sums ride as int64 cents (order-exact), so ``sum_value`` equals
+    the unsalted float sum after cents rounding (the normalization
+    every consumer applies — ``__ray_entry__._cents``).
     """
     n_parts = _n_parts()
     gap = np.timedelta64(gap_minutes * 60, "s")
+    chunk_sec = (salt_chunk_minutes * 60 if salt_chunk_minutes else 0)
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    if salt_chunk_minutes:
+        return _event_sessions_salted(ds, gap=gap, chunk_sec=chunk_sec,
+                                      n_parts=n_parts)
 
     def add_pid(batch: pa.Table) -> pa.Table:
         pid = (batch.column("user_id").to_numpy()
@@ -327,4 +440,99 @@ def event_sessions(sf_dir: str, gap_minutes: int = 30):
                            batch_size=65536)
             .groupby("pid")
             .map_groups(sessionize, batch_format="pandas")
+            .sort(["user_id", "session_id"]))
+
+
+def _event_sessions_salted(ds, *, gap, chunk_sec: int, n_parts: int):
+    """Two-stage skew-safe sessionization (see ``event_sessions``):
+    per-(user, chunk) local sessionize, then a per-user stitch over
+    session summaries."""
+
+    def add_pid(batch: pa.Table) -> pa.Table:
+        user = batch.column("user_id").to_numpy()
+        ci = _chunk_of(batch.column("ts").to_numpy(), chunk_sec)
+        batch = batch.append_column("ci", pa.array(ci))
+        key = user * np.int64(1000003) + ci
+        pid = (key % n_parts).astype(np.int32)
+        return batch.append_column("pid", pa.array(pid))
+
+    def chunk_sessions(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "start": pd.Series(dtype="datetime64[us]"),
+                "end": pd.Series(dtype="datetime64[us]"),
+                "n_events": pd.Series(dtype="int64"),
+                "cents": pd.Series(dtype="int64"),
+                "pid2": pd.Series(dtype="int32")})
+        df = df.sort_values(["user_id", "ci", "ts", "event_id"],
+                            kind="mergesort")
+        user = df["user_id"].to_numpy()
+        ci = df["ci"].to_numpy()
+        ts = df["ts"].to_numpy()
+        cents = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+        n = len(df)
+        brk = np.empty(n, dtype=bool)
+        brk[0] = True
+        brk[1:] = ((user[1:] != user[:-1]) | (ci[1:] != ci[:-1])
+                   | ((ts[1:] - ts[:-1]) > gap))
+        idx = np.flatnonzero(brk)
+        last = np.r_[idx[1:], n] - 1
+        su = user[idx]
+        return pd.DataFrame({
+            "user_id": su,
+            "start": ts[idx],
+            "end": ts[last],
+            "n_events": np.diff(np.r_[idx, n]),
+            "cents": np.add.reduceat(cents, idx),
+            "pid2": (su % n_parts).astype(np.int32),
+        })
+
+    def stitch(df: pd.DataFrame) -> pd.DataFrame:
+        # chunk partials are time-disjoint per user → a plain sort on
+        # (user, start) linearizes them; merge where the boundary gap
+        # closes, then renumber 1..k per user
+        if not len(df):
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "session_id": pd.Series(dtype="int64"),
+                "session_start": pd.Series(dtype="datetime64[us]"),
+                "session_end": pd.Series(dtype="datetime64[us]"),
+                "n_events": pd.Series(dtype="int64"),
+                "sum_value": pd.Series(dtype="float64")})
+        df = df.sort_values(["user_id", "start"], kind="mergesort")
+        user = df["user_id"].to_numpy()
+        start = df["start"].to_numpy()
+        end = df["end"].to_numpy()
+        n = len(df)
+        brk = np.empty(n, dtype=bool)
+        brk[0] = True
+        brk[1:] = ((user[1:] != user[:-1])
+                   | ((start[1:] - end[:-1]) > gap))
+        idx = np.flatnonzero(brk)
+        last = np.r_[idx[1:], n] - 1
+        guser = user[idx]
+        new_user = np.empty(len(idx), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = guser[1:] != guser[:-1]
+        gidx = np.arange(len(idx))
+        first_of_user = np.maximum.accumulate(
+            np.where(new_user, gidx, 0))
+        return pd.DataFrame({
+            "user_id": guser,
+            "session_id": (gidx - first_of_user + 1).astype(np.int64),
+            "session_start": start[idx],
+            "session_end": end[last],
+            "n_events": np.add.reduceat(
+                df["n_events"].to_numpy(), idx).astype(np.int64),
+            "sum_value": np.add.reduceat(
+                df["cents"].to_numpy(), idx) / 100.0,
+        })
+
+    return (ds.map_batches(add_pid, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("pid")
+            .map_groups(chunk_sessions, batch_format="pandas")
+            .groupby("pid2")
+            .map_groups(stitch, batch_format="pandas")
             .sort(["user_id", "session_id"]))

@@ -75,3 +75,86 @@ def test_sessions_cover_all_events(ray_session, duck):
     per_user = got.groupby("user_id")["session_id"]
     assert (per_user.min() == 1).all()
     assert (per_user.max() == per_user.count()).all()
+
+
+@pytest.fixture(scope="module")
+def skewed_events_dir(tmp_path_factory):
+    """A log where one user owns 50% of events, spread across many
+    60-minute chunks — the hot-key case the salted paths exist for."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(42)
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    rows = []
+    eid = 0
+    # hot user 7: 2000 events over ~3 days, some sub-second offsets
+    offs = np.sort(rng.integers(0, 3 * 86400 * 1_000_000, size=2000))
+    for k, off in enumerate(offs):
+        rows.append((eid, 7, base + off.item(),
+                     ["purchase", "click", "view", "page"][k % 4],
+                     round(float(rng.uniform(0, 50)), 2)))
+        eid += 1
+    # 50 cold users, 40 events each
+    for u in range(100, 150):
+        offs = np.sort(rng.integers(0, 3 * 86400 * 1_000_000, size=40))
+        for k, off in enumerate(offs):
+            rows.append((eid, u, base + off.item(),
+                         ["purchase", "click", "view", "page"][k % 4],
+                         round(float(rng.uniform(0, 50)), 2)))
+            eid += 1
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+    })
+    d = tmp_path_factory.mktemp("skewed")
+    pq.write_table(tbl, d / "events.parquet")
+    return str(d)
+
+
+def test_salted_purchase_attribution_equals_unsalted(
+        ray_session, skewed_events_dir):
+    """Hot-key salting (time-chunk + boundary-strip replication) is
+    byte-identical to the unsalted path: the cents-derived float sums
+    are bit-equal because both divide the same int by 100.0."""
+    from stanford_relation_extractor_ray.pipelines.temporal import \
+        purchase_attribution
+    plain = purchase_attribution(skewed_events_dir).to_pandas()
+    salted = purchase_attribution(
+        skewed_events_dir, salt_chunk_minutes=60).to_pandas()
+    pd.testing.assert_frame_equal(plain.reset_index(drop=True),
+                                  salted.reset_index(drop=True))
+
+
+def test_salted_rolling_user_value_equals_unsalted(
+        ray_session, skewed_events_dir):
+    from stanford_relation_extractor_ray.pipelines.temporal import \
+        rolling_user_value
+    plain = rolling_user_value(skewed_events_dir).to_pandas()
+    salted = rolling_user_value(
+        skewed_events_dir, salt_chunk_minutes=90).to_pandas()
+    pd.testing.assert_frame_equal(plain.reset_index(drop=True),
+                                  salted.reset_index(drop=True))
+
+
+def test_salted_event_sessions_equals_unsalted(
+        ray_session, skewed_events_dir):
+    """Sessions stitch across chunk boundaries; sums agree after cents
+    rounding (the salted path's int-cent sums are order-exact, the
+    unsalted pandas float sum can differ by an ulp before rounding)."""
+    import numpy as np
+    from stanford_relation_extractor_ray.pipelines.temporal import \
+        event_sessions
+    plain = event_sessions(skewed_events_dir).to_pandas() \
+        .reset_index(drop=True)
+    salted = event_sessions(
+        skewed_events_dir, salt_chunk_minutes=45).to_pandas() \
+        .reset_index(drop=True)
+    for df in (plain, salted):
+        df["sum_value"] = np.rint(df["sum_value"].to_numpy() * 100) \
+            .astype(np.int64)
+    pd.testing.assert_frame_equal(plain, salted)
