@@ -297,3 +297,45 @@ def test_finalize_fills_repair_external_doc_ids(ray_session):
     out = finalize_fills(fills, repair=True).take_all()
     assert len(out) == 1
     assert out[0]["doc_id"] == "ext-corpus-17"
+
+
+def test_finalize_fills_external_corpus_with_sentences(ray_session):
+    """External corpus (non-generator doc ids) with an explicit
+    ``sentences=`` dataset through the full
+    ``finalize_fills(postprocess=True, repair=True)``: the unary chain
+    must run WITH glosses from that dataset (observable via the
+    maximal-phrase rewrite) and the repair pass must re-point weak
+    provenance — neither may silently degrade just because doc ids
+    aren't generator-format."""
+    import ray.data as rd
+
+    from stanford_relation_extractor_ray.pipelines.kg import \
+        finalize_fills
+    from stanford_relation_extractor_ray.schemas import FILLS_SCHEMA
+
+    sentences = rd.from_items([
+        {"doc_id": "ext:A", "sent_idx": 0,
+         "text": "Jane Doe serves as a deputy curator there"},
+        {"doc_id": "ext:A", "sent_idx": 1,
+         "text": "Acme Corp is based in Toronto ."},
+        {"doc_id": "ext:B", "sent_idx": 0,
+         "text": "Markets were mixed on Tuesday ."},
+    ])
+    fills = rd.from_arrow(pa.Table.from_pylist([
+        # chain-visible effect: per:title expands to the maximal
+        # phrase USING THE GLOSS — only reachable via sentences=
+        _fill(subj="Jane Doe", subj_type="PERSON", pred="per:title",
+              obj="curator", obj_type="TITLE", doc_id="ext:A",
+              sent_idx=0, subj_span=[0, 2], obj_span=[6, 7]),
+        # weak provenance (gloss lacks subj+obj): repair must
+        # re-point to the supporting sentence ext:A/1
+        _fill(subj="Acme Corp", pred="org:city_of_headquarters",
+              obj="Toronto", obj_type="CITY", doc_id="ext:B",
+              sent_idx=0, subj_span=[0, 2], obj_span=[5, 6]),
+    ], schema=FILLS_SCHEMA))
+    out = finalize_fills(fills, sentences=sentences, repair=True)
+    rows = {(r["subj"], r["pred"]): r for r in out.take_all()}
+    title = rows[("Jane Doe", "per:title")]
+    assert title["obj"] == "deputy curator"          # chain ran
+    hq = rows[("Acme Corp", "org:city_of_headquarters")]
+    assert (hq["doc_id"], hq["sent_idx"]) == ("ext:A", 1)   # repaired
