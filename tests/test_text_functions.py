@@ -68,6 +68,61 @@ def test_timex_sutime_shapes():
     assert t("yesterday") is None            # no document date
 
 
+def test_timex_durations():
+    """ISO-8601 durations (SUTime's duration output tail)."""
+    from stanford_relation_extractor_ray.functions.text import \
+        timex_normalize as t
+    assert t("three weeks") == "P3W"
+    assert t("a week") == "P1W"
+    assert t("an hour") == "PT1H"
+    assert t("45 minutes") == "PT45M"
+    assert t("two years") == "P2Y"
+    assert t("six months") == "P6M"
+    assert t("two decades") == "P20Y"
+    assert t("a century") == "P100Y"
+    assert t("ten days") == "P10D"
+
+
+def test_timex_holidays():
+    """Holiday names: fixed-date table, computed Thanksgiving (4th
+    Thursday) and Easter (Gregorian computus)."""
+    from stanford_relation_extractor_ray.functions.text import \
+        timex_normalize as t
+    assert t("Christmas 1970") == "1970-12-25"
+    assert t("Fourth of July 2001") == "2001-07-04"
+    assert t("Thanksgiving 2023") == "2023-11-23"
+    assert t("Thanksgiving 2024") == "2024-11-28"
+    assert t("Easter 2024") == "2024-03-31"
+    assert t("Easter 2016") == "2016-03-27"
+    assert t("Halloween") is None            # needs year or doc date
+    assert t("Halloween", doc_date="2024-01-01") == "2024-10-31"
+
+
+def test_timex_relative_with_doc_date():
+    """Relative expressions resolve only against an explicit document
+    date (SUTimeSimpleParser drops them without one; callers that know
+    the doc date pass it)."""
+    from stanford_relation_extractor_ray.functions.text import \
+        timex_normalize as t
+    dd = "2024-03-15"                         # a Friday
+    assert t("yesterday", doc_date=dd) == "2024-03-14"
+    assert t("today", doc_date=dd) == "2024-03-15"
+    assert t("tomorrow", doc_date=dd) == "2024-03-16"
+    assert t("last Tuesday", doc_date=dd) == "2024-03-12"
+    assert t("next Tuesday", doc_date=dd) == "2024-03-19"
+    assert t("next Friday", doc_date=dd) == "2024-03-22"
+    assert t("Friday", doc_date=dd) == "2024-03-15"   # forward, incl.
+    assert t("last month", doc_date=dd) == "2024-02-XX"
+    assert t("next year", doc_date=dd) == "2025-XX-XX"
+    assert t("last week", doc_date=dd) == "2024-W10"
+    assert t("three weeks ago", doc_date=dd) == "2024-02-23"
+    # calendar month arithmetic clamps the day
+    assert t("in one month", doc_date="2024-01-31") == "2024-02-29"
+    assert t("two months ago", doc_date="2024-03-31") == "2024-01-31"
+    # absolute shapes ignore the anchor
+    assert t("May 3 , 1970", doc_date=dd) == "1970-05-03"
+
+
 def test_repetition_metrics(ray_session):
     """Gopher-style repetition: top/dup bigram fractions per doc."""
     import ray.data as rd
