@@ -64,7 +64,7 @@ def _n_parts() -> int:
 
 # --- as-of join ----------------------------------------------------------
 
-def events_asof_order(sf_dir: str):
+def events_asof_order(sf_dir: str, salt_chunk_minutes: int | None = None):
     """For each event, the most recent order by the same customer with
     ``o_orderdate <= ts`` (backward as-of join, inner: events with no
     prior order are dropped). Ties on ``o_orderdate`` resolve to the
@@ -76,7 +76,20 @@ def events_asof_order(sf_dir: str):
     ``pd.merge_asof(by=user)`` inside each partition — the standard
     distributed as-of: co-partition on the equality key, sort-merge on
     the temporal key locally.
+
+    ``salt_chunk_minutes`` splits a hot user across ``(user,
+    time-chunk)`` partitions. The as-of lookback is unbounded, so the
+    salted path is two rounds instead of boundary replication: a local
+    as-of per (user, chunk) that also emits each chunk's best order as
+    a one-row summary, then a per-user pass joining chunk-local misses
+    to their carry-in. Because chunk date-ranges are disjoint, the
+    carry-in for chunk c is simply the summary of the LATEST
+    order-bearing chunk before c (no cross-chunk date ties are
+    possible), found by one ``searchsorted`` — byte-identical output.
     """
+    if salt_chunk_minutes:
+        return _events_asof_order_salted(
+            sf_dir, chunk_sec=salt_chunk_minutes * 60)
     n_parts = _n_parts()
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
     od = _read(sf_dir, "orders",
@@ -151,6 +164,173 @@ def events_asof_order(sf_dir: str):
               .union(od.map_batches(tag_od, batch_format="pyarrow")))
     return (tagged.groupby("pid")
             .map_groups(asof, batch_format="pandas")
+            .sort("event_id"))
+
+
+def _events_asof_order_salted(sf_dir: str, *, chunk_sec: int):
+    """Two-round skew-safe as-of join (see ``events_asof_order``)."""
+    n_parts = _n_parts()
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    od = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def tag_ev(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        user = batch.column("user_id").to_numpy()
+        ts = batch.column("ts").to_numpy()
+        ci = _chunk_of(ts, chunk_sec)
+        key = user * np.int64(1000003) + ci
+        return pa.table({
+            "side": pa.array(["E"] * n, pa.string()),
+            "ukey": pa.array(user),
+            "ci": pa.array(ci),
+            "event_id": batch.column("event_id"),
+            "ts": batch.column("ts"),
+            "o_orderkey": pa.array(np.full(n, -1, np.int64)),
+            "o_orderdate": pa.nulls(n, pa.timestamp("us")),
+            "pid": pa.array((key % n_parts).astype(np.int32)),
+        })
+
+    def tag_od(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        user = batch.column("o_custkey").to_numpy().astype(np.int64)
+        dates = pa.compute.cast(batch.column("o_orderdate"),
+                                pa.timestamp("us"))
+        ci = _chunk_of(dates.to_numpy(), chunk_sec)
+        key = user * np.int64(1000003) + ci
+        return pa.table({
+            "side": pa.array(["O"] * n, pa.string()),
+            "ukey": pa.array(user),
+            "ci": pa.array(ci),
+            "event_id": pa.array(np.full(n, -1, np.int64)),
+            "ts": pa.nulls(n, pa.timestamp("us")),
+            "o_orderkey": batch.column("o_orderkey"),
+            "o_orderdate": dates,
+            "pid": pa.array((key % n_parts).astype(np.int32)),
+        })
+
+    def asof_local(df: pd.DataFrame) -> pd.DataFrame:
+        """Per (user, chunk): local backward as-of; unmatched events
+        stay pending (side E); each order-bearing chunk emits its best
+        (max date, tie max key) order as a one-row summary (side S);
+        everything is re-keyed by user for round 2."""
+        df = df.assign(
+            gk=df.groupby(["ukey", "ci"], sort=True).ngroup())
+        e = df[df["side"] == "E"].sort_values(
+            ["ts", "event_id"], kind="mergesort")
+        o = df[df["side"] == "O"].sort_values(
+            ["o_orderdate", "o_orderkey"], kind="mergesort")
+        frames = []
+        if len(o):
+            summ = o.groupby("gk", sort=True).tail(1)
+            frames.append(pd.DataFrame({
+                "side": "S", "ukey": summ["ukey"].to_numpy(),
+                "ci": summ["ci"].to_numpy(),
+                "event_id": np.full(len(summ), -1, np.int64),
+                "ts": pd.Series([pd.NaT] * len(summ),
+                                dtype="datetime64[us]").to_numpy(),
+                "o_orderkey": summ["o_orderkey"].to_numpy(),
+                "o_orderdate": summ["o_orderdate"].to_numpy()}))
+        if len(e) and len(o):
+            j = pd.merge_asof(
+                e[["ts", "gk", "ukey", "ci", "event_id"]],
+                o[["o_orderdate", "gk", "o_orderkey"]],
+                left_on="ts", right_on="o_orderdate", by="gk",
+                direction="backward")
+            hit = j["o_orderkey"].notna()
+            jh = j[hit]
+            frames.append(pd.DataFrame({
+                "side": "J", "ukey": jh["ukey"].to_numpy(),
+                "ci": jh["ci"].to_numpy(),
+                "event_id": jh["event_id"].to_numpy(),
+                "ts": jh["ts"].to_numpy(),
+                "o_orderkey": jh["o_orderkey"].to_numpy()
+                .astype(np.int64),
+                "o_orderdate": jh["o_orderdate"].to_numpy()}))
+            jm = j[~hit]
+            frames.append(pd.DataFrame({
+                "side": "E", "ukey": jm["ukey"].to_numpy(),
+                "ci": jm["ci"].to_numpy(),
+                "event_id": jm["event_id"].to_numpy(),
+                "ts": jm["ts"].to_numpy(),
+                "o_orderkey": np.full(len(jm), -1, np.int64),
+                "o_orderdate": pd.Series(
+                    [pd.NaT] * len(jm),
+                    dtype="datetime64[us]").to_numpy()}))
+        elif len(e):
+            frames.append(e.drop(columns=["pid", "gk"]))
+        if not frames:
+            return pd.DataFrame({
+                "side": pd.Series(dtype="object"),
+                "ukey": pd.Series(dtype="int64"),
+                "ci": pd.Series(dtype="int64"),
+                "event_id": pd.Series(dtype="int64"),
+                "ts": pd.Series(dtype="datetime64[us]"),
+                "o_orderkey": pd.Series(dtype="int64"),
+                "o_orderdate": pd.Series(dtype="datetime64[us]"),
+                "pid2": pd.Series(dtype="int32")})
+        out = pd.concat(frames, ignore_index=True)
+        out["pid2"] = (out["ukey"].to_numpy() % n_parts) \
+            .astype(np.int32)
+        return out
+
+    def carry_join(df: pd.DataFrame) -> pd.DataFrame:
+        """Per user: pending events join the summary of the latest
+        order-bearing chunk before theirs (disjoint chunk date ranges
+        make that the global best prior order)."""
+        empty = pd.DataFrame({
+            "event_id": pd.Series(dtype="int64"),
+            "user_id": pd.Series(dtype="int64"),
+            "ts": pd.Series(dtype="datetime64[us]"),
+            "asof_orderkey": pd.Series(dtype="int64"),
+            "asof_orderdate": pd.Series(dtype="object")})
+        outs = [empty]
+        j = df[df["side"] == "J"]
+        if len(j):
+            outs.append(pd.DataFrame({
+                "event_id": j["event_id"].to_numpy(),
+                "user_id": j["ukey"].to_numpy(),
+                "ts": j["ts"].to_numpy(),
+                "asof_orderkey": j["o_orderkey"].to_numpy(),
+                "asof_orderdate": pd.Series(j["o_orderdate"].to_numpy())
+                .dt.strftime("%Y-%m-%d").to_numpy()}))
+        s = df[df["side"] == "S"].sort_values(["ukey", "ci"],
+                                              kind="mergesort")
+        p = df[df["side"] == "E"].sort_values(["ukey", "ci"],
+                                              kind="mergesort")
+        if len(s) and len(p):
+            su = s["ukey"].to_numpy()
+            sci = s["ci"].to_numpy()
+            pu = p["ukey"].to_numpy()
+            pci = p["ci"].to_numpy()
+            us_ = np.searchsorted(su, pu, side="left")
+            ue = np.searchsorted(su, pu, side="right")
+            idx = np.full(len(p), -1, np.int64)
+            seg = np.unique(np.stack([us_, ue]), axis=1)
+            for a, b in seg.T:     # one iteration per distinct user
+                m = (us_ == a) & (ue == b)
+                pos = a + np.searchsorted(sci[a:b], pci[m],
+                                          side="left") - 1
+                idx[m] = np.where(pos >= a, pos, -1)
+            ok = idx >= 0
+            hit = s.iloc[idx[ok]]
+            ph = p[ok]
+            outs.append(pd.DataFrame({
+                "event_id": ph["event_id"].to_numpy(),
+                "user_id": ph["ukey"].to_numpy(),
+                "ts": ph["ts"].to_numpy(),
+                "asof_orderkey": hit["o_orderkey"].to_numpy(),
+                "asof_orderdate":
+                    pd.Series(hit["o_orderdate"].to_numpy())
+                    .dt.strftime("%Y-%m-%d").to_numpy()}))
+        return pd.concat(outs, ignore_index=True)
+
+    tagged = (ev.map_batches(tag_ev, batch_format="pyarrow")
+              .union(od.map_batches(tag_od, batch_format="pyarrow")))
+    return (tagged.groupby("pid")
+            .map_groups(asof_local, batch_format="pandas")
+            .groupby("pid2")
+            .map_groups(carry_join, batch_format="pandas")
             .sort("event_id"))
 
 

@@ -158,3 +158,50 @@ def test_salted_event_sessions_equals_unsalted(
         df["sum_value"] = np.rint(df["sum_value"].to_numpy() * 100) \
             .astype(np.int64)
     pd.testing.assert_frame_equal(plain, salted)
+
+
+def test_salted_events_asof_order_equals_unsalted(
+        ray_session, skewed_events_dir, tmp_path):
+    """Two-round salted as-of (local asof + carry-in from the latest
+    order-bearing prior chunk) is byte-identical to the unsalted
+    single-shuffle path on a skewed log."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stanford_relation_extractor_ray.pipelines.temporal import \
+        events_asof_order
+    # orders for the hot user and some cold users, sparse in time so
+    # many event chunks have no local order (carry-in path exercised)
+    rng = np.random.default_rng(7)
+    base = np.datetime64("2024-02-25T00:00:00", "us")
+    users, keys, dates = [], [], []
+    ok = 1
+    for u in [7] + list(range(100, 150, 7)):
+        for _ in range(6 if u == 7 else 2):
+            users.append(u)
+            keys.append(ok)
+            dates.append(base + rng.integers(
+                0, 8 * 86400 * 1_000_000).item())
+            ok += 1
+    # duplicate-date orders for the tie-break (max key wins)
+    users += [7, 7]
+    keys += [9001, 9002]
+    dates += [dates[0], dates[0]]
+    pq.write_table(pa.table({
+        "o_custkey": pa.array(users, pa.int64()),
+        "o_orderkey": pa.array(keys, pa.int64()),
+        "o_orderdate": pa.array(dates, pa.timestamp("us")),
+    }), f"{skewed_events_dir}/orders.parquet")
+    try:
+        plain = events_asof_order(skewed_events_dir).to_pandas()
+        salted = events_asof_order(
+            skewed_events_dir, salt_chunk_minutes=360).to_pandas()
+    finally:
+        import os
+        os.remove(f"{skewed_events_dir}/orders.parquet")
+    assert len(plain) > 0
+    pd.testing.assert_frame_equal(plain.reset_index(drop=True),
+                                  salted.reset_index(drop=True))
