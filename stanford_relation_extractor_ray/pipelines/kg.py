@@ -325,9 +325,21 @@ def _model_fingerprint(model_ref) -> str:
 
 
 def build_graph(consistent_fills):
-    """→ (nodes Dataset-backed Table, edges Dataset)."""
-    cmap, _w = canonical_map(consistent_fills)
-    return materialize_graph(consistent_fills, cmap)
+    """→ (nodes, edges). Below the ``SMALL_SURFACES`` gate nodes is a
+    driver-built ``pa.Table`` (the surface universe is tiny); above it
+    the fully distributed tier runs — blocking, components, root join,
+    representative pick, broadcast-free canonical rewrite — and nodes
+    is a Dataset too (nothing entity-universe-bounded on the driver).
+    """
+    from ..stages.canonicalize import (SMALL_SURFACES, _surface_table,
+                                       canonical_map_ds,
+                                       materialize_graph_ds)
+    surfaces = _surface_table(consistent_fills).materialize()
+    if surfaces.count() <= SMALL_SURFACES:
+        cmap, _w = canonical_map(consistent_fills, surfaces=surfaces)
+        return materialize_graph(consistent_fills, cmap)
+    return materialize_graph_ds(consistent_fills,
+                                canonical_map_ds(surfaces))
 
 
 def run_kg(n_docs: int, *, seed: int = 42, model_ref=None,
@@ -388,5 +400,7 @@ def run_kg(n_docs: int, *, seed: int = 42, model_ref=None,
         from ..storage import write_table
         os.makedirs(out_dir, exist_ok=True)
         write_table(edges, os.path.join(out_dir, "edges"))
-        write_table(rd.from_arrow(nodes), os.path.join(out_dir, "nodes"))
+        nodes_ds = rd.from_arrow(nodes) if isinstance(nodes, pa.Table) \
+            else nodes
+        write_table(nodes_ds, os.path.join(out_dir, "nodes"))
     return {"fills": consistent, "nodes": nodes, "edges": edges}

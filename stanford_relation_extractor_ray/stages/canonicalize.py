@@ -107,7 +107,7 @@ def _pairs_in_partition(group: pa.Table) -> pa.Table:
                      "type": pa.array(out_t, pa.string())})
 
 
-def propagate_components(pairs, *, max_iter: int = 50) -> list[dict]:
+def propagate_components_ds(pairs, *, max_iter: int = 50):
     """Distributed connected components over the same-entity edge list
     by iterative min-label (hash-to-min) propagation — the successor to
     driver union-find above the surface gate (SURVEY.md §7.2 step 7;
@@ -129,9 +129,10 @@ def propagate_components(pairs, *, max_iter: int = 50) -> list[dict]:
     preserved; accumulated adjacency is bounded by component size,
     which for entity-variant clusters is tiny.
 
-    Returns the final (node → root) assignment rows (``a``/``b``
-    name|type keys → ``root``) — bounded by 2·|pairs|, the same driver
-    bound union-find had.
+    Returns the final (node → root) assignment as a DATASET of
+    ``(node, label)`` rows (``a``/``b`` name|type keys → root) —
+    nothing lands on the driver; the list-collecting wrapper below is
+    the mid-scale convenience form.
     """
     import pandas as pd
 
@@ -223,9 +224,14 @@ def propagate_components(pairs, *, max_iter: int = 50) -> list[dict]:
             f"propagate_components did not reach a fixpoint in "
             f"{max_iter} rounds — component diameter exceeds the "
             f"pointer-jumping bound; raise max_iter")
+    return state.select_columns(["node", "label"])
 
-    # columnar collect — take_all on pandas blocks is per-row-priced
-    return (state.select_columns(["node", "label"])
+
+def propagate_components(pairs, *, max_iter: int = 50) -> list[dict]:
+    """Driver-collected form of ``propagate_components_ds`` (columnar
+    collect — take_all on pandas blocks is per-row-priced). Callers at
+    the fully distributed tier keep the Dataset instead."""
+    return (propagate_components_ds(pairs, max_iter=max_iter)
             .to_pandas().to_dict("records"))
 
 
@@ -236,7 +242,36 @@ def propagate_components(pairs, *, max_iter: int = 50) -> list[dict]:
 SMALL_SURFACES = 100_000
 
 
-def canonical_map(fills) -> tuple[dict, dict]:
+def _block_pairs_ds(surfaces):
+    """surfaces Dataset (name, type) → candidate same-entity pair
+    Dataset via distributed blocking: explode each surface to its
+    block keys, co-partition whole blocks by block-key hash, pairwise
+    linker scoring inside each partition."""
+    from ..runtime import cluster_cpus
+    n_parts = max(16, cluster_cpus() * 4)
+
+    def explode_blocks(batch: pa.Table) -> pa.Table:
+        names = batch.column("name").to_pylist()
+        types = batch.column("type").to_pylist()
+        bn, bt, bb, bp = [], [], [], []
+        for n, t in zip(names, types):
+            for blk in _blocks_of(n):
+                bn.append(n)
+                bt.append(t)
+                bb.append(f"{t}:{blk}")
+                bp.append(zlib.crc32(bb[-1].encode()) % n_parts)
+        return pa.table({"name": pa.array(bn, pa.string()),
+                         "type": pa.array(bt, pa.string()),
+                         "block": pa.array(bb, pa.string()),
+                         "pid": pa.array(bp, pa.int32())})
+
+    return (surfaces
+            .map_batches(explode_blocks, batch_format="pyarrow")
+            .groupby("pid").map_groups(_pairs_in_partition,
+                                       batch_format="pyarrow"))
+
+
+def canonical_map(fills, surfaces=None) -> tuple[dict, dict]:
     """→ (canonical_map {(name,type) → representative}, weights).
 
     Below the ``SMALL_SURFACES`` gate: driver-side blocking + pairwise
@@ -248,9 +283,13 @@ def canonical_map(fills) -> tuple[dict, dict]:
     (``propagate_components``) — the same-entity edge list never lands
     on the driver; only the cluster-member → root assignment does.
     Both paths produce identical clusters (pinned by
-    tests/test_canonicalize_scale.py).
+    tests/test_canonicalize_scale.py). ``surfaces`` takes an already-
+    materialized surface Dataset (``build_graph`` computes one for its
+    tier gate) to avoid a second scan.
     """
-    sdf = _surface_table(fills).to_pandas()     # columnar collect
+    if surfaces is None:
+        surfaces = _surface_table(fills)
+    sdf = surfaces.to_pandas()                  # columnar collect
     weights = dict(zip(zip(sdf["name"], sdf["type"]), sdf["weight"]))
     n_surfaces = len(sdf)
 
@@ -274,31 +313,9 @@ def canonical_map(fills) -> tuple[dict, dict]:
                             {"a": a, "b": b, "type": ta})
     else:
         import ray.data as rd
-
-        from ..runtime import cluster_cpus
-        n_parts = max(16, cluster_cpus() * 4)
         surfaces = rd.from_items(
             [{"name": n, "type": t} for (n, t) in weights])
-
-        def explode_blocks(batch: pa.Table) -> pa.Table:
-            names = batch.column("name").to_pylist()
-            types = batch.column("type").to_pylist()
-            bn, bt, bb, bp = [], [], [], []
-            for n, t in zip(names, types):
-                for blk in _blocks_of(n):
-                    bn.append(n)
-                    bt.append(t)
-                    bb.append(f"{t}:{blk}")
-                    bp.append(zlib.crc32(bb[-1].encode()) % n_parts)
-            return pa.table({"name": pa.array(bn, pa.string()),
-                             "type": pa.array(bt, pa.string()),
-                             "block": pa.array(bb, pa.string()),
-                             "pid": pa.array(bp, pa.int32())})
-
-        pairs = (surfaces
-                 .map_batches(explode_blocks, batch_format="pyarrow")
-                 .groupby("pid").map_groups(_pairs_in_partition,
-                                            batch_format="pyarrow"))
+        pairs = _block_pairs_ds(surfaces)
         # distributed min-label propagation instead of driver
         # union-find: the pairs never land on the driver, only the
         # (cluster-member-bounded) final node→root assignment does
@@ -369,6 +386,23 @@ def apply_canonical(fills, cmap_ref):
     return fills.map_batches(rewrite, batch_format="pyarrow")
 
 
+def _to_edges(batch: pa.Table) -> pa.Table:
+    cols = {n: batch.column(n).to_pylist() for n in batch.column_names}
+    n = batch.num_rows
+    return pa.Table.from_arrays(
+        [pa.array([_entity_id(cols["subj"][i], cols["subj_type"][i])
+                   for i in range(n)], pa.string()),
+         batch.column("subj"), batch.column("subj_type"),
+         batch.column("pred"),
+         pa.array([_entity_id(cols["obj"][i], cols["obj_type"][i])
+                   if cols["obj_type"][i] in ENTITY_TYPES else ""
+                   for i in range(n)], pa.string()),
+         batch.column("obj"), batch.column("obj_type"),
+         batch.column("score"),
+         batch.column("doc_id"), batch.column("sent_idx")],
+        schema=EDGES_SCHEMA)
+
+
 def materialize_graph(fills, cmap: dict):
     """consistent fills + canonical map → (nodes_ds, edges_ds)."""
     import ray
@@ -391,21 +425,204 @@ def materialize_graph(fills, cmap: dict):
                   pa.list_(pa.string()))],
         schema=NODES_SCHEMA)
 
-    def to_edges(batch: pa.Table) -> pa.Table:
-        cols = {n: batch.column(n).to_pylist() for n in batch.column_names}
-        n = batch.num_rows
-        return pa.Table.from_arrays(
-            [pa.array([_entity_id(cols["subj"][i], cols["subj_type"][i])
-                       for i in range(n)], pa.string()),
-             batch.column("subj"), batch.column("subj_type"),
-             batch.column("pred"),
-             pa.array([_entity_id(cols["obj"][i], cols["obj_type"][i])
-                       if cols["obj_type"][i] in ENTITY_TYPES else ""
-                       for i in range(n)], pa.string()),
-             batch.column("obj"), batch.column("obj_type"),
-             batch.column("score"),
-             batch.column("doc_id"), batch.column("sent_idx")],
-            schema=EDGES_SCHEMA)
+    edges = merged.map_batches(_to_edges, batch_format="pyarrow")
+    return nodes, edges
 
-    edges = merged.map_batches(to_edges, batch_format="pyarrow")
+
+# --- fully distributed tier (open-domain web scale) -----------------------
+#
+# Above SMALL_SURFACES, `canonical_map` still lands the whole distinct-
+# surface table (weights, representative pick, the cmap broadcast dict,
+# the driver-built nodes table) on the driver — entity-universe-bounded,
+# which at the 10^12-doc design point can be billions of rows. The
+# functions below keep EVERYTHING as Datasets: blocking, components,
+# root join, representative selection, canonical rewrite (co-partition
+# join instead of broadcast), and the nodes table. `build_graph` gates
+# between the two tiers on the surface count.
+
+def canonical_map_ds(surfaces):
+    """surfaces Dataset (name, type, weight) → canonical-map Dataset
+    ``(name, type, rep)`` with the SAME clusters and representative
+    choice as ``canonical_map`` (pinned by
+    tests/test_canonicalize_scale.py), with no driver materialization
+    of the surface universe."""
+    import pandas as pd
+
+    from ..runtime import cluster_cpus
+    n_parts = max(16, cluster_cpus() * 4)
+
+    labels = propagate_components_ds(_block_pairs_ds(surfaces))
+
+    def _pid(keys: pd.Series) -> pd.Series:
+        return (pd.util.hash_pandas_object(keys, index=False)
+                % n_parts).astype("int32")
+
+    # root join: surfaces ⋈ component labels on the name|type key;
+    # unpaired surfaces are their own root
+    def tag_surface(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["name"].str.cat(df["type"], sep="|")
+        return pd.DataFrame({
+            "key": key, "root": "", "name": df["name"],
+            "type": df["type"], "weight": df["weight"], "side": "W",
+            "pid": _pid(key)})
+
+    def tag_label(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df["node"], "root": df["label"], "name": "",
+            "type": "", "weight": 0.0, "side": "L",
+            "pid": _pid(df["node"])})
+
+    def join_root(df: pd.DataFrame) -> pd.DataFrame:
+        lmap = dict(zip(df.loc[df["side"] == "L", "key"],
+                        df.loc[df["side"] == "L", "root"]))
+        w = df[df["side"] == "W"]
+        root = w["key"].map(lmap).fillna(w["key"])
+        return pd.DataFrame({
+            "name": w["name"], "type": w["type"],
+            "weight": w["weight"], "root": root,
+            "pid2": _pid(root)})
+
+    rooted = (surfaces.map_batches(tag_surface, batch_format="pandas")
+              .union(labels.map_batches(tag_label,
+                                        batch_format="pandas"))
+              .groupby("pid")
+              .map_groups(join_root, batch_format="pandas"))
+
+    # representative per root — co-partitioned by root, so every
+    # cluster member is local; the comparator matches canonical_map:
+    # max (rounded weight, name length), then smallest name
+    def pick_rep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(rw=df["weight"].round(9),
+                       ln=df["name"].str.len())
+        df = df.sort_values(["root", "rw", "ln", "name"],
+                            ascending=[True, False, False, True],
+                            kind="mergesort")
+        first = df.drop_duplicates("root")
+        rep_of = dict(zip(first["root"], first["name"]))
+        return pd.DataFrame({
+            "name": df["name"], "type": df["type"],
+            "rep": df["root"].map(rep_of)})
+
+    return rooted.groupby("pid2").map_groups(pick_rep,
+                                             batch_format="pandas")
+
+
+def apply_canonical_join(fills, cmap_ds):
+    """Broadcast-free canonical rewrite: two co-partition tagged-union
+    joins of the fills against the canonical-map Dataset — first on
+    (subj, subj_type), then on (obj, obj_type) with the same
+    entity-type / alternate-names guard as ``apply_canonical``. Arrow
+    tagging with canonical FILLS types on both sides (the
+    ``attach_gloss`` shape) keeps the union schema-aligned."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..runtime import cluster_cpus
+    n_parts = max(16, cluster_cpus() * 4)
+    fill_names = list(FILLS_SCHEMA.names)
+    fill_types = dict(zip(FILLS_SCHEMA.names, FILLS_SCHEMA.types))
+
+    def _key_pid(keys) -> pa.Array:
+        h = pd.util.hash_pandas_object(
+            pd.Series(keys.to_pylist(), dtype="object"), index=False)
+        return pa.array((h.to_numpy() % n_parts).astype("int32"))
+
+    def one_join(ds, name_col: str, type_col: str, guard: bool):
+        def tag_fill(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            key = pc.binary_join_element_wise(
+                pc.cast(batch.column(name_col), pa.string()),
+                pc.cast(batch.column(type_col), pa.string()), "|")
+            cols = {nm: batch.column(nm).cast(fill_types[nm])
+                    for nm in fill_names}
+            cols["key"] = key
+            cols["rep"] = pa.nulls(n, pa.string())
+            cols["side"] = pa.array(["F"] * n, pa.string())
+            cols["pid"] = _key_pid(key)
+            return pa.table(cols)
+
+        def tag_map(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            key = pc.binary_join_element_wise(
+                batch.column("name"), batch.column("type"), "|")
+            cols = {nm: pa.nulls(n, ty)
+                    for nm, ty in fill_types.items()}
+            cols["key"] = key
+            cols["rep"] = batch.column("rep")
+            cols["side"] = pa.array(["M"] * n, pa.string())
+            cols["pid"] = _key_pid(key)
+            return pa.table(cols)
+
+        def rewrite(group: pa.Table) -> pa.Table:
+            sides = group.column("side").to_pylist()
+            keys = group.column("key").to_pylist()
+            reps = group.column("rep").to_pylist()
+            mmap = {k: r for k, r, s in zip(keys, reps, sides)
+                    if s == "M"}
+            mask = pa.array([s == "F" for s in sides])
+            f = group.filter(mask)
+            fkeys = [k for k, s in zip(keys, sides) if s == "F"]
+            names = f.column(name_col).to_pylist()
+            if guard:
+                types_ = f.column(type_col).to_pylist()
+                preds = f.column("pred").to_pylist()
+                new = [mmap.get(k, nm)
+                       if t in ENTITY_TYPES
+                       and not p.endswith("alternate_names") else nm
+                       for k, nm, t, p in
+                       zip(fkeys, names, types_, preds)]
+            else:
+                new = [mmap.get(k, nm)
+                       for k, nm in zip(fkeys, names)]
+            f = f.set_column(f.column_names.index(name_col), name_col,
+                             pa.array(new, pa.string()))
+            return f.drop_columns(["key", "rep", "side", "pid"])
+
+        return (ds.map_batches(tag_fill, batch_format="pyarrow")
+                .union(cmap_ds.map_batches(tag_map,
+                                           batch_format="pyarrow"))
+                .groupby("pid")
+                .map_groups(rewrite, batch_format="pyarrow"))
+
+    out = one_join(fills, "subj", "subj_type", guard=False)
+    return one_join(out, "obj", "obj_type", guard=True)
+
+
+def materialize_graph_ds(fills, cmap_ds):
+    """Fully distributed graph materialization: (nodes_ds, edges_ds),
+    both Datasets — nothing entity-universe-bounded on the driver."""
+    import pandas as pd
+
+    from ..runtime import cluster_cpus
+    n_parts = max(16, cluster_cpus() * 4)
+    cmap_ds = cmap_ds.materialize()     # consumed by rewrite + nodes
+    merged = combine_fills(apply_canonical_join(fills, cmap_ds))
+
+    def _pid(keys: pd.Series) -> pd.Series:
+        return (pd.util.hash_pandas_object(keys, index=False)
+                % n_parts).astype("int32")
+
+    def add_pid(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            pid=_pid(df["rep"].str.cat(df["type"], sep="|")))
+
+    def make_nodes(df: pd.DataFrame) -> pa.Table:
+        by_node: dict[tuple, list] = {}
+        for name, typ, rep in zip(df["name"], df["type"], df["rep"]):
+            by_node.setdefault((rep, typ), [])
+            if name != rep:
+                by_node[(rep, typ)].append(name)
+        ks = sorted(by_node)
+        return pa.Table.from_arrays(
+            [pa.array([_entity_id(n, t) for n, t in ks], pa.string()),
+             pa.array([n for n, _ in ks], pa.string()),
+             pa.array([t for _, t in ks], pa.string()),
+             pa.array([sorted(by_node[k]) for k in ks],
+                      pa.list_(pa.string()))],
+            schema=NODES_SCHEMA)
+
+    nodes = (cmap_ds.map_batches(add_pid, batch_format="pandas")
+             .groupby("pid")
+             .map_groups(make_nodes, batch_format="pandas"))
+    edges = merged.map_batches(_to_edges, batch_format="pyarrow")
     return nodes, edges

@@ -98,3 +98,30 @@ def test_propagate_components_long_chain_pointer_jumping(ray_session):
     rows = C.propagate_components(pairs, max_iter=8)
     roots = {r["node"]: r["label"] for r in rows}
     assert set(roots.values()) == {"N000|ORGANIZATION"}
+
+
+def test_build_graph_distributed_tier_equals_driver(
+        ray_session, variant_fills, monkeypatch):
+    """Above the gate, build_graph runs the fully distributed tier
+    (Dataset-only canonical map, co-partition rewrite joins,
+    distributed nodes) — same nodes and edges as the driver tier."""
+    from stanford_relation_extractor_ray.pipelines.kg import build_graph
+
+    def norm_nodes(obj):
+        df = obj.to_pandas()
+        df["aliases"] = df["aliases"].map(list)
+        return sorted(map(tuple, df.to_numpy().tolist()))
+
+    def norm_edges(ds):
+        df = ds.to_pandas()
+        df["score"] = df["score"].round(9)
+        return sorted(map(tuple, df.to_numpy().tolist()))
+
+    nodes_small, edges_small = build_graph(variant_fills)
+    n_small, e_small = norm_nodes(nodes_small), norm_edges(edges_small)
+    monkeypatch.setattr(C, "SMALL_SURFACES", 0)
+    nodes_big, edges_big = build_graph(variant_fills)
+    assert norm_nodes(nodes_big) == n_small
+    assert norm_edges(edges_big) == e_small
+    # the distributed tier actually produced a Dataset, not a Table
+    assert not isinstance(nodes_big, __import__("pyarrow").Table)
