@@ -70,18 +70,49 @@ def bench_kg(n_docs: int) -> float:
     return best
 
 
+ASOF_EVENTS = int(os.environ.get("GRAFT_ASOF_EVENTS", "20000000"))
+
+
 def bench_asof(repeats: int) -> float:
     """The widest shuffle-bound query (two all-to-alls by
-    construction) at SF_DIR — the scaling record's second datapoint
-    alongside the compute-bound KG flagship."""
+    construction) — the scaling record's second datapoint alongside
+    the compute-bound KG flagship. Runs over a deterministic synthetic
+    20M-event / 2M-order log: the sf0.1 tables are so small the query
+    is pure fixed latency there (~2-4 s at any CPU count), which
+    measures overhead, not scaling."""
+    import numpy as np
+    import ray.data as rd
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from stanford_relation_extractor_ray.pipelines.temporal import \
         events_asof_order
-    events_asof_order(SF_DIR).count()          # warm
+
+    n_ev, n_od, n_users = ASOF_EVENTS, ASOF_EVENTS // 10, 1_000_000
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    span_s = 90 * 86400
+
+    def mk_events(batch):
+        i = batch["id"]
+        return {"event_id": i,
+                "user_id": i % n_users,
+                "ts": base + ((i * np.int64(7919)) % span_s
+                              ).astype("timedelta64[s]")}
+
+    def mk_orders(batch):
+        i = batch["id"]
+        return {"o_custkey": i % n_users,
+                "o_orderkey": i,
+                "o_orderdate": base + ((i * np.int64(104729)) % span_s
+                                       ).astype("timedelta64[s]")}
+
+    ev = rd.range(n_ev).map_batches(mk_events,
+                                    batch_format="numpy").materialize()
+    od = rd.range(n_od).map_batches(mk_orders,
+                                    batch_format="numpy").materialize()
+    events_asof_order("", datasets=(ev, od)).count()        # warm
     best = float("inf")
     for _ in range(repeats):
         t0 = time.time()
-        events_asof_order(SF_DIR).count()
+        events_asof_order("", datasets=(ev, od)).count()
         best = min(best, time.time() - t0)
     return best
 

@@ -6,7 +6,10 @@ The Ray-Data re-expression of the reference's slot-filling lifecycle
 aliases) → featurize → salted-key bag groupby (shuffle #1) → ensemble
 classification (actor pool) → per-triple combine → object linking →
 per-entity greedy consistency (groupby.map_groups) → canonicalization
-(blocking groupby + driver union-find, shuffle #2) → node/edge tables.
+(shuffle #2; three tiers — driver union-find below the surface gate,
+distributed blocking + min-label propagation above it, and a fully
+Dataset-only tier for open-domain scale, see ``build_graph``) →
+node/edge tables.
 
 Two entry styles:
 - ``extract_fills(docs)`` — the streaming lazy pipeline for one shard.

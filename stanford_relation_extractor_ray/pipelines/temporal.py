@@ -64,7 +64,8 @@ def _n_parts() -> int:
 
 # --- as-of join ----------------------------------------------------------
 
-def events_asof_order(sf_dir: str, salt_chunk_minutes: int | None = None):
+def events_asof_order(sf_dir: str, salt_chunk_minutes: int | None = None,
+                      *, datasets=None):
     """For each event, the most recent order by the same customer with
     ``o_orderdate <= ts`` (backward as-of join, inner: events with no
     prior order are dropped). Ties on ``o_orderdate`` resolve to the
@@ -91,9 +92,12 @@ def events_asof_order(sf_dir: str, salt_chunk_minutes: int | None = None):
         return _events_asof_order_salted(
             sf_dir, chunk_sec=salt_chunk_minutes * 60)
     n_parts = _n_parts()
-    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-    od = _read(sf_dir, "orders",
-               ["o_custkey", "o_orderkey", "o_orderdate"])
+    if datasets is not None:
+        ev, od = datasets        # pre-built (events, orders) Datasets
+    else:
+        ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+        od = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_orderdate"])
 
     def tag_ev(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
