@@ -290,6 +290,8 @@ def canonical_map(fills, surfaces=None) -> tuple[dict, dict]:
     if surfaces is None:
         surfaces = _surface_table(fills)
     sdf = surfaces.to_pandas()                  # columnar collect
+    if sdf.empty:                               # empty input: pandas
+        return {}, {}                           # drops the columns too
     weights = dict(zip(zip(sdf["name"], sdf["type"]), sdf["weight"]))
     n_surfaces = len(sdf)
 

@@ -92,10 +92,10 @@ def extract_media(documents):
 
 # --------------------------------------------------------------------------
 # real pure-stdlib codecs: full pixel decode for PNG (8-bit,
-# non-interlaced), BMP (24-bit uncompressed), PNM, and baseline JPEG
-# (stages/jpegcodec.py), plus WAV / JPEG header parsing — no external
-# libraries required, so REAL media bytes decode end-to-end in this
-# container
+# non-interlaced), BMP (24-bit uncompressed), PNM, and Huffman JPEG
+# (baseline + progressive, stages/jpegcodec.py), plus WAV / JPEG
+# header parsing — no external libraries required, so REAL media
+# bytes decode end-to-end in this container
 # --------------------------------------------------------------------------
 
 def sniff_format(payload: bytes) -> str | None:
@@ -201,10 +201,11 @@ def decode_image_pixels(payload: bytes) -> np.ndarray:
 
     Real formats covered: PNG (8-bit gray/RGB/RGBA, non-interlaced;
     zlib inflate + per-row unfilter), BMP (24-bit uncompressed,
-    bottom-up or top-down), PNM P5/P6 (binary), and baseline
-    sequential JPEG (any sampling grid, restart markers — see
-    ``stages/jpegcodec.py``; progressive JPEG stays the documented
-    ``NotImplementedError`` seam).
+    bottom-up or top-down), PNM P5/P6 (binary), and Huffman JPEG —
+    baseline sequential AND progressive (spectral selection +
+    successive approximation), any integer sampling grid, restart
+    markers — see ``stages/jpegcodec.py``. Only hierarchical/
+    arithmetic JPEG keeps the ``NotImplementedError`` seam.
     """
     fmt = sniff_format(payload)
     if fmt == "jpeg":
@@ -406,7 +407,13 @@ class ImageResizer:
                 # sniffable-but-unsupported variants (palette PNG,
                 # 32bpp BMP, truncated payloads) must degrade to the
                 # stub like any other undecodable payload, not kill
-                # the whole stage
+                # the whole stage. Truncated/corrupt bytes surface as
+                # zlib.error (PNG IDAT), IndexError (JPEG scan past
+                # end), KeyError (undefined JPEG table id) or
+                # struct.error — all are "undecodable", same as the
+                # deliberate NotImplementedError seams.
+                import struct as _struct
+                import zlib as _zlib
                 try:
                     px = decode_image_pixels(payload)
                     if px.shape[2] == 4:      # drop alpha for PNM
@@ -417,7 +424,8 @@ class ImageResizer:
                     xs = (np.arange(nw) * (wi / nw)).astype(np.int64)
                     thumb = encode_ppm(
                         np.ascontiguousarray(px[ys][:, xs]))
-                except (NotImplementedError, ValueError):
+                except (NotImplementedError, ValueError, IndexError,
+                        KeyError, _zlib.error, _struct.error):
                     thumb = None
             if thumb is None:
                 raw = hashlib.blake2b(f"{ref}|{nw}x{nh}".encode(),

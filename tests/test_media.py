@@ -361,15 +361,75 @@ def test_jpeg_noise_entropy_paths():
     assert np.abs(dec.astype(int) - px.astype(int)).max() <= 3
 
 
-def test_jpeg_progressive_is_the_seam():
+def test_jpeg_progressive_decodes_identically_to_baseline():
+    """SOF2 decode: the progressive encoder writes the SAME quantized
+    coefficients as the baseline encoder (spectral selection +
+    successive approximation is a lossless reordering), so both
+    streams must decode to byte-identical pixels — across subsampling,
+    grayscale, odd dims and restart markers."""
+    import numpy as np
+    from stanford_relation_extractor_ray.stages.jpegcodec import (
+        decode_jpeg, encode_jpeg, encode_progressive_jpeg)
+    rng = np.random.default_rng(42)
+    for (h, w, ch, sub, q, ri) in [
+            (33, 47, 3, False, 90, 0),
+            (33, 47, 3, True, 75, 0),
+            (21, 13, 1, False, 95, 0),
+            (40, 56, 3, True, 85, 3)]:
+        px = _gradient(h, w)[:, :, :ch]
+        noise = rng.integers(0, 60, size=px.shape).astype(np.uint8)
+        px = ((px.astype(int) + noise) % 256).astype(np.uint8)
+        if ch == 1:
+            px = px[:, :, 0]
+        base = decode_jpeg(encode_jpeg(
+            px, quality=q, subsample=sub, restart_interval=ri))
+        prog = decode_jpeg(encode_progressive_jpeg(
+            px, quality=q, subsample=sub, restart_interval=ri))
+        assert np.array_equal(base, prog), (h, w, ch, sub, q, ri)
+
+
+def test_jpeg_progressive_eob_run_with_extension_bits():
+    """The EOBn path (run > 1, extension bits) — which our encoder
+    never emits (standard tables define no EOBn>0 symbols) — decoded
+    from a handcrafted SOF2 stream: one AC coefficient in block 0,
+    then EOBRUN=2 covering blocks 1-2."""
+    import struct
+    import numpy as np
+    from stanford_relation_extractor_ray.stages.jpegcodec import (
+        _M, decode_jpeg)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) \
+        + bytes([1] * 64)                       # DQT: all ones
+    sof = struct.pack(">BHHB", 8, 8, 24, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    bits = [0] * 16
+    bits[1] = 2                                 # codes 00 -> (2,1),
+    body = bytes([0x10]) + bytes(bits) + bytes([0x21, 0x10])
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    sos = bytes([1, 1, 0x00, 1, 63, 0])         # AC scan 1..63
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    # 00 (r=2,s=1)  1 (+1)  01 (EOB, r=1)  1 (ext) -> eobrun = 2
+    out += bytes([0b00101111]) + b"\xff\xd9"
+    px = decode_jpeg(bytes(out))
+    coef = np.zeros((8, 8))
+    coef[2, 0] = 1.0                            # zigzag index 3
+    blk = _M.T @ coef @ _M + 128.0
+    exp = np.full((8, 24), 128.0)
+    exp[:, :8] = blk
+    exp = (np.clip(exp, 0, 255) + 0.5).astype(np.uint8)[:, :, None]
+    assert np.array_equal(px, exp)
+
+
+def test_jpeg_hierarchical_and_arithmetic_stay_the_seam():
     import pytest
     from stanford_relation_extractor_ray.stages.jpegcodec import (
         decode_jpeg, encode_jpeg)
-    payload = bytearray(encode_jpeg(_gradient(8, 8)))
-    i = payload.index(b"\xff\xc0")
-    payload[i + 1] = 0xC2                     # rewrite SOF0 → SOF2
-    with pytest.raises(NotImplementedError):
-        decode_jpeg(bytes(payload))
+    for marker in (0xC3, 0xC9, 0xCA):   # lossless / arith seq / prog
+        payload = bytearray(encode_jpeg(_gradient(8, 8)))
+        i = payload.index(b"\xff\xc0")
+        payload[i + 1] = marker
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(payload))
 
 
 def test_jpeg_flows_through_decode_and_resize(ray_session):
@@ -401,3 +461,73 @@ def test_jpeg_flows_through_decode_and_resize(ray_session):
     ys = (np.arange(20) * 2).astype(int)
     xs = (np.arange(50) * 2).astype(int)
     assert np.array_equal(thumb, full[ys][:, xs])
+
+
+def test_jpeg_scan_fill_byte_before_restart():
+    """A 0xFF fill byte before an RSTn inside scan data (legal per
+    T.81 B.1.1.2) must not truncate the scan."""
+    from stanford_relation_extractor_ray.stages.jpegcodec import (
+        decode_jpeg, encode_jpeg)
+    px = _gradient(33, 47)
+    payload = encode_jpeg(px, quality=95, restart_interval=2)
+    want = decode_jpeg(payload)
+    i = payload.index(b"\xff\xd0")
+    padded = payload[:i] + b"\xff" + payload[i:]
+    assert np.array_equal(decode_jpeg(padded), want)
+
+
+def test_jpeg_single_component_scan_is_non_interleaved():
+    """T.81 A.2.2: an Ns=1 scan is non-interleaved (one 8x8 block per
+    MCU, row-major) regardless of the SOF sampling factors — a
+    grayscale JPEG declaring (2,2) must decode like (1,1)."""
+    from stanford_relation_extractor_ray.stages.jpegcodec import (
+        decode_jpeg, encode_jpeg)
+    g = _gradient(33, 47)[:, :, 0]
+    payload = bytearray(encode_jpeg(g, quality=95))
+    want = decode_jpeg(bytes(payload))
+    i = payload.index(b"\xff\xc0")
+    # SOF0: len(2) prec(1) h(2) w(2) ncomp(1) then cid, hv, tq
+    assert payload[i + 11] == 0x11
+    payload[i + 11] = 0x22                    # declare (2,2) sampling
+    assert np.array_equal(decode_jpeg(bytes(payload)), want)
+
+
+def test_jpeg_non_integer_upsampling_is_the_seam():
+    """hmax/hs that doesn't divide evenly (e.g. Y=(3,1), Cb=(2,1))
+    raises the documented NotImplementedError instead of silently
+    producing a wrong-sized plane."""
+    import pytest
+    from stanford_relation_extractor_ray.stages.jpegcodec import (
+        decode_jpeg, encode_jpeg)
+    payload = bytearray(encode_jpeg(_gradient(16, 16), quality=90))
+    i = payload.index(b"\xff\xc0")
+    payload[i + 11] = 0x31                    # Y  (3,1)
+    payload[i + 14] = 0x21                    # Cb (2,1)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(payload))
+
+
+def test_resizer_degrades_on_truncated_payloads(ray_session):
+    """Truncated PNG (zlib.error) and truncated JPEG (IndexError)
+    payloads fall back to the stub thumbnail instead of killing the
+    resize stage."""
+    import ray.data as rd
+    from stanford_relation_extractor_ray.stages.jpegcodec import \
+        encode_jpeg
+    from stanford_relation_extractor_ray.stages.media import ImageResizer
+    png = _make_png(_px(12, 12))
+    rows = [
+        {"doc_id": "d1", "span_seq": 0, "kind": "image",
+         "media_ref": "m://t/1.png", "payload": png[:len(png) - 30],
+         "width": 12, "height": 12},
+        {"doc_id": "d1", "span_seq": 1, "kind": "image",
+         "media_ref": "m://t/2.jpg", "payload": b"\xff\xd8\xff",
+         "width": 8, "height": 8},
+    ]
+    out = (rd.from_items(rows)
+           .map_batches(ImageResizer,
+                        fn_constructor_kwargs={"max_side": 6},
+                        batch_format="pyarrow", concurrency=1)
+           .take_all())
+    assert len(out) == 2
+    assert all(len(r["payload"]) > 0 for r in out)   # stub thumbs
