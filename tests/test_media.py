@@ -463,6 +463,36 @@ def test_jpeg_flows_through_decode_and_resize(ray_session):
     assert np.array_equal(thumb, full[ys][:, xs])
 
 
+def test_progressive_jpeg_flows_through_decode_and_resize(ray_session):
+    """A progressive (SOF2) JPEG gets real metadata + real pixel
+    thumbnails through the MediaDecoder → ImageResizer actor pool —
+    identical to what the baseline encode of the same image yields."""
+    import ray.data as rd
+    from stanford_relation_extractor_ray.stages.jpegcodec import (
+        encode_jpeg, encode_progressive_jpeg)
+    from stanford_relation_extractor_ray.stages.media import (
+        ImageResizer, MediaDecoder, decode_image_pixels)
+    px = _gradient(40, 100)
+    rows = [{"doc_id": "d1", "span_seq": s, "kind": "image",
+             "media_ref": f"media://real/{s}.jpg", "payload": p}
+            for s, p in enumerate([
+                encode_jpeg(px, quality=95, subsample=True),
+                encode_progressive_jpeg(px, quality=95,
+                                        subsample=True)])]
+    out = (rd.from_items(rows)
+           .map_batches(MediaDecoder, batch_format="pyarrow",
+                        concurrency=1)
+           .map_batches(ImageResizer,
+                        fn_constructor_kwargs={"max_side": 50},
+                        batch_format="pyarrow", concurrency=1)
+           .take_all())
+    out.sort(key=lambda r: r["span_seq"])
+    base, prog = out
+    assert (prog["width"], prog["height"]) == (50, 20)
+    assert np.array_equal(decode_image_pixels(base["payload"]),
+                          decode_image_pixels(prog["payload"]))
+
+
 def test_jpeg_scan_fill_byte_before_restart():
     """A 0xFF fill byte before an RSTn inside scan data (legal per
     T.81 B.1.1.2) must not truncate the scan."""
