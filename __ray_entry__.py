@@ -218,6 +218,17 @@ def _q_dedup_components(sf_dir: str):
         .sort_values("id").reset_index(drop=True)
 
 
+def _q_dedup_substring(sf_dir: str):
+    """Repeated cross-document token 5-gram spans (exact-substring
+    dedup family; see stages/dedup.substring_spans)."""
+    import ray.data as rd
+    from stanford_relation_extractor_ray.stages.dedup import \
+        substring_spans
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return substring_spans(docs, n=5, min_docs=2)
+
+
 def _q_dedup_jaccard(sf_dir: str):
     import ray.data as rd
     from stanford_relation_extractor_ray.stages.dedup import jaccard_pairs
@@ -423,6 +434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_components": _q_dedup_components,
+        "dedup_substring": _q_dedup_substring,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
@@ -673,6 +685,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM reach rc JOIN edges e ON e.a = rc.r)
             SELECT node AS id, MIN(r) AS root
             FROM reach GROUP BY node ORDER BY id
+        """,
+        "dedup_substring": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') w
+                FROM documents),
+            g AS (
+                SELECT doc_id, unnest(list_transform(
+                    generate_series(1, greatest(len(w) - 4, 0)),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                         || ' ' || w[i+3] || ' ' || w[i+4])) AS gram
+                FROM toks)
+            SELECT gram, COUNT(DISTINCT doc_id) AS n_docs,
+                   COUNT(*) AS n_occ
+            FROM g GROUP BY gram
+            HAVING COUNT(DISTINCT doc_id) >= 2
+            ORDER BY gram
         """,
         "dedup_jaccard": """
             WITH toks AS (

@@ -473,6 +473,59 @@ def jaccard_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
         block_pairs, batch_format="pyarrow")
 
 
+def substring_spans(ds, *, text_col: str = "text",
+                    id_col: str = "doc_id", n: int = 5,
+                    min_docs: int = 2):
+    """Cross-document repeated-span detection over token n-grams —
+    the exact-substring dedup family (Lee et al. 2022,
+    arXiv:2107.06499), simplified from suffix arrays to fixed-length
+    token n-grams so the whole operation is one map-side
+    explode+combine and ONE gram-keyed groupby shuffle.
+
+    Per batch: explode docs to (gram, doc) rows, Arrow hash-aggregate
+    to (gram, n_docs, n_occ) partials — document rows are whole, so
+    per-batch distinct-doc counts are exact and the global stage only
+    sums. Output: (gram, n_docs, n_occ) for grams appearing in
+    ≥ ``min_docs`` distinct documents, sorted by gram.
+
+    At 100-TB scale the map-side combine bounds shuffle traffic at one
+    row per distinct (gram, batch); the gram key space is high-
+    cardinality and hash-balanced, so the single groupby has no hot
+    keys. Downstream span *removal* is a broadcast of the flagged
+    gram set back over the corpus (same shape as the PII scrub).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        grams: list[str] = []
+        docs: list = []
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_pylist()
+        for did, t in zip(ids, texts):
+            toks = t.split(" ") if t else []
+            for i in range(len(toks) - n + 1):
+                grams.append(" ".join(toks[i:i + n]))
+                docs.append(did)
+        tbl = pa.table({"gram": pa.array(grams, pa.string()),
+                        "doc": pa.array(docs)})
+        return (tbl.group_by("gram")
+                .aggregate([("doc", "count_distinct"),
+                            ("doc", "count")])
+                .rename_columns(["gram", "n_docs", "n_occ"]))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(batch.column("n_docs"), min_docs))
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=4096)
+            .groupby("gram")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("n_occ", alias_name="n_occ"))
+            .map_batches(keep, batch_format="pyarrow")
+            .sort("gram"))
+
+
 SMALL_CC_PAIRS = 100_000
 
 
