@@ -526,6 +526,45 @@ def substring_spans(ds, *, text_col: str = "text",
             .sort("gram"))
 
 
+class SpanScrubber:
+    """Actor-pool stage removing flagged repeated n-gram spans from a
+    text column — the removal half of the exact-substring dedup loop
+    (run ``substring_spans`` first, scrub its grams here).
+
+    The flagged gram set is output-bounded (grams seen in ≥min_docs
+    documents), so it broadcasts: pass ``grams_ref = ray.put(set)``
+    and every actor reads the object-store copy ONCE in ``__init__``
+    — never re-shipped per batch. Tokens covered by any flagged
+    window are dropped; surviving tokens re-join with single spaces.
+    """
+
+    def __init__(self, grams_ref, *, text_col: str = "text",
+                 n: int = 5):
+        import ray
+        grams = ray.get(grams_ref) if hasattr(grams_ref, "hex") \
+            else grams_ref
+        self.grams = set(grams)
+        self.text_col = text_col
+        self.n = n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = self.n
+        out = []
+        for t in batch.column(self.text_col).to_pylist():
+            toks = t.split(" ") if t else []
+            drop = np.zeros(len(toks), dtype=bool)
+            for i in range(len(toks) - n + 1):
+                if " ".join(toks[i:i + n]) in self.grams:
+                    drop[i:i + n] = True
+            if drop.any():
+                t = " ".join(tok for tok, d in zip(toks, drop)
+                             if not d)
+            out.append(t)
+        idx = batch.schema.get_field_index(self.text_col)
+        return batch.set_column(idx, self.text_col,
+                                pa.array(out, pa.string()))
+
+
 SMALL_CC_PAIRS = 100_000
 
 

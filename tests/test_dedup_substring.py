@@ -39,3 +39,25 @@ def test_substring_spans_counts(ray_session):
 
 def test_substring_spans_partition_invariant(ray_session):
     assert _run(1) == _run(5)
+
+
+def test_span_scrubber_closes_the_loop(ray_session):
+    """detect → scrub → re-detect finds nothing: the flagged grams
+    are gone from every document after one SpanScrubber pass."""
+    import ray
+
+    from stanford_relation_extractor_ray.stages.dedup import SpanScrubber
+
+    ds = rd.from_items(DOCS)
+    flagged = {r["gram"]
+               for r in substring_spans(ds, n=4, min_docs=2)
+               .take_all()}
+    assert flagged
+    ref = ray.put(flagged)
+    scrubbed = rd.from_items(DOCS).map_batches(
+        SpanScrubber, fn_constructor_kwargs={"grams_ref": ref, "n": 4},
+        batch_format="pyarrow", concurrency=1).materialize()
+    assert substring_spans(scrubbed, n=4, min_docs=2).count() == 0
+    # untouched docs pass through byte-identical
+    texts = {r["doc_id"]: r["text"] for r in scrubbed.take_all()}
+    assert texts[4] == "short text" and texts[5] == ""
