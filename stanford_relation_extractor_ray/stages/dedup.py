@@ -491,38 +491,62 @@ def substring_spans(ds, *, text_col: str = "text",
     At 100-TB scale the map-side combine bounds shuffle traffic at one
     row per distinct (gram, batch); the gram key space is high-
     cardinality and hash-balanced, so the single groupby has no hot
-    keys. Downstream span *removal* is a broadcast of the flagged
+    keys. The shuffle is a COARSE-pid groupby (O(CPUs) Ray groups)
+    with an Arrow C++ hash-aggregate inside each partition — never
+    ``groupby(gram).aggregate``, whose per-group driver overhead is
+    ~200 µs × millions of groups (measured: 49 s vs 1.5 s at 238k
+    groups). Downstream span *removal* is a broadcast of the flagged
     gram set back over the corpus (same shape as the PII scrub).
     """
-    from ray.data.aggregate import Sum
+    from ..runtime import cluster_cpus
+    n_parts = max(16, cluster_cpus() * 4)
 
     def partial(batch: pa.Table) -> pa.Table:
-        grams: list[str] = []
-        docs: list = []
-        texts = batch.column(text_col).to_pylist()
-        ids = batch.column(id_col).to_pylist()
-        for did, t in zip(ids, texts):
-            toks = t.split(" ") if t else []
-            for i in range(len(toks) - n + 1):
-                grams.append(" ".join(toks[i:i + n]))
-                docs.append(did)
-        tbl = pa.table({"gram": pa.array(grams, pa.string()),
-                        "doc": pa.array(docs)})
-        return (tbl.group_by("gram")
-                .aggregate([("doc", "count_distinct"),
-                            ("doc", "count")])
-                .rename_columns(["gram", "n_docs", "n_occ"]))
+        # fully vectorized gram construction: split once, compute the
+        # ragged window index arithmetic in numpy, then n Arrow takes
+        # joined element-wise in C++ — no per-row Python (50 s → 9 s
+        # at sf0.1 vs the join-in-a-loop version)
+        split = pc.split_pattern(
+            pc.coalesce(batch.column(text_col), ""), " ")
+        flat = pc.list_flatten(split)
+        lens = pc.list_value_length(split).to_numpy().astype(np.int64)
+        counts = np.maximum(lens - (n - 1), 0)
+        total = int(counts.sum())
+        empty = pa.table({"gram": pa.array([], pa.string()),
+                          "n_docs": pa.array([], pa.int64()),
+                          "n_occ": pa.array([], pa.int64()),
+                          "pid": pa.array([], pa.int32())})
+        if total == 0:
+            return empty
+        doc_idx = np.repeat(np.arange(len(lens)), counts)
+        offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        win_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        within = np.arange(total) - np.repeat(win_starts, counts)
+        starts = np.repeat(offsets, counts) + within
+        parts = [flat.take(pa.array(starts + k)) for k in range(n)]
+        grams = pc.binary_join_element_wise(*parts, " ")
+        docs = batch.column(id_col).take(pa.array(doc_idx))
+        tbl = pa.table({"gram": grams, "doc": docs})
+        agg = (tbl.group_by("gram")
+               .aggregate([("doc", "count_distinct"),
+                           ("doc", "count")])
+               .rename_columns(["gram", "n_docs", "n_occ"]))
+        pid = np.array([zlib.crc32(g.encode()) % n_parts
+                        for g in agg.column("gram").to_pylist()],
+                       np.int32)
+        return agg.append_column("pid", pa.array(pid))
 
-    def keep(batch: pa.Table) -> pa.Table:
-        return batch.filter(
-            pc.greater_equal(batch.column("n_docs"), min_docs))
+    def reduce_part(part: pa.Table) -> pa.Table:
+        out = (part.group_by("gram")
+               .aggregate([("n_docs", "sum"), ("n_occ", "sum")])
+               .rename_columns(["gram", "n_docs", "n_occ"]))
+        return out.filter(
+            pc.greater_equal(out.column("n_docs"), min_docs))
 
     return (ds.map_batches(partial, batch_format="pyarrow",
                            batch_size=4096)
-            .groupby("gram")
-            .aggregate(Sum("n_docs", alias_name="n_docs"),
-                       Sum("n_occ", alias_name="n_occ"))
-            .map_batches(keep, batch_format="pyarrow")
+            .groupby("pid")
+            .map_groups(reduce_part, batch_format="pyarrow")
             .sort("gram"))
 
 

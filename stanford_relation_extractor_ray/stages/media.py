@@ -173,6 +173,66 @@ def decode_wav_meta(payload: bytes) -> tuple[int, float]:
     return rate, data_len / byte_rate
 
 
+def decode_wav_samples(payload: bytes) -> tuple[int, np.ndarray]:
+    """Full PCM sample decode from a RIFF/WAVE container →
+    (sample_rate, float32 [n_samples, channels] in [-1, 1]).
+
+    Covers PCM (format 1) at 8/16/32 bits and IEEE float (format 3)
+    at 32 bits — the WAV encodings that occur in practice. Other
+    formats (ADPCM, a-law/µ-law) raise ``NotImplementedError``, the
+    same seam contract as the image codecs.
+    """
+    pos = 12
+    fmt_code = channels = bits = rate = 0
+    data = b""
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        clen = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt_code = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)
+    if not rate or not channels:
+        raise ValueError("no WAVE fmt chunk")
+    if fmt_code == 1 and bits == 8:
+        x = (np.frombuffer(data, np.uint8).astype(np.float32)
+             - 128.0) / 128.0
+    elif fmt_code == 1 and bits == 16:
+        x = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
+    elif fmt_code == 1 and bits == 32:
+        x = np.frombuffer(data, "<i4").astype(np.float32) \
+            / np.float32(2 ** 31)
+    elif fmt_code == 3 and bits == 32:
+        x = np.frombuffer(data, "<f4").astype(np.float32)
+    else:
+        raise NotImplementedError(
+            f"WAV format {fmt_code} at {bits} bits (PCM 8/16/32 and "
+            "float32 decode natively)")
+    n = (len(x) // channels) * channels
+    return rate, x[:n].reshape(-1, channels)
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """float [n, ch] (or [n]) in [-1, 1] → 16-bit PCM RIFF/WAVE."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    ch = samples.shape[1]
+    pcm = np.clip(np.round(samples * 32767.0), -32768,
+                  32767).astype("<i2").tobytes()
+    import struct
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2,
+                      ch * 2, 16)
+    out = (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    return out
+
+
 def _pnm_header_tokens(payload: bytes) -> tuple[list[str], int]:
     """First 4 whitespace-separated header tokens (comments skipped)
     plus the offset just past the last one — pixel data begins one
@@ -482,6 +542,105 @@ def sample_frames(decoded, *, every_s: float = 1.0, max_frames: int = 16,
 
     return decoded.map_batches(fn, batch_format="pyarrow",
                                batch_size=batch_size)
+
+
+class AudioWindowStats:
+    """audio rows → one row per sampled window with REAL signal
+    statistics (rms, peak) for decodable WAV payloads; stub payloads
+    (synthetic magic / exotic codecs) get deterministic digest-derived
+    stats, mirroring the image stages' real/stub split.
+
+    Actor-pool stage: per-window reduction is a vectorized
+    cumulative-sum-of-squares over the mono mixdown (one pass per
+    payload, no per-sample Python).
+    """
+
+    def __init__(self, *, every_s: float = 1.0, max_frames: int = 16):
+        self.every_s = every_s
+        self.max_frames = max_frames
+
+    def _windows(self, payload: bytes):
+        import zlib as _zlib
+        try:
+            rate, x = decode_wav_samples(payload)
+        except (NotImplementedError, ValueError, _zlib.error):
+            return None
+        mono = x.mean(axis=1)
+        dur = len(mono) / rate
+        n = min(self.max_frames, max(1, int(dur / self.every_s)))
+        # windowed sum of squares via one cumsum (vectorized)
+        sq = np.concatenate([[0.0], np.cumsum(mono.astype(np.float64)
+                                              ** 2)])
+        out = []
+        for fi in range(n):
+            a = int(fi * self.every_s * rate)
+            b = min(len(mono), int((fi + 1) * self.every_s * rate))
+            if b <= a:
+                break
+            rms = float(np.sqrt((sq[b] - sq[a]) / (b - a)))
+            peak = float(np.abs(mono[a:b]).max())
+            out.append((fi, fi * self.every_s, min(dur, (fi + 1)
+                                                   * self.every_s),
+                        rms, peak))
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        aud = batch.filter(pc.equal(batch.column("kind"), "audio"))
+        o = {k: [] for k in ("doc_id", "media_ref", "frame_idx",
+                             "t_start", "t_end", "rms", "peak")}
+        for d, r, p in zip(aud.column("doc_id").to_pylist(),
+                           aud.column("media_ref").to_pylist(),
+                           aud.column("payload").to_pylist()):
+            wins = self._windows(p)
+            if wins is None:                    # stub path
+                if sniff_format(p) == "synthetic":
+                    # same duration the decode stage reports for
+                    # synthetic payloads (header bytes 4:16)
+                    _rate, dur = _fake_decode_audio(p[4:16])
+                else:
+                    dur = 0.5 + (int.from_bytes(hashlib.blake2b(
+                        p, digest_size=2).digest(), "big") % 5950) \
+                        / 100.0
+                hdr = hashlib.blake2b(p, digest_size=8).digest()
+                n = min(self.max_frames,
+                        max(1, int(dur / self.every_s)))
+                wins = [(fi, fi * self.every_s,
+                         min(dur, (fi + 1) * self.every_s),
+                         (hdr[fi % 8] % 100) / 100.0,
+                         (hdr[(fi + 3) % 8] % 100) / 100.0)
+                        for fi in range(n)]
+            for (fi, t0, t1, rms, peak) in wins:
+                o["doc_id"].append(d)
+                o["media_ref"].append(r)
+                o["frame_idx"].append(fi)
+                o["t_start"].append(t0)
+                o["t_end"].append(t1)
+                o["rms"].append(rms)
+                o["peak"].append(peak)
+        return pa.table({
+            "doc_id": pa.array(o["doc_id"], pa.string()),
+            "media_ref": pa.array(o["media_ref"], pa.string()),
+            "frame_idx": pa.array(o["frame_idx"], pa.int32()),
+            "t_start": pa.array(o["t_start"], pa.float64()),
+            "t_end": pa.array(o["t_end"], pa.float64()),
+            "rms": pa.array(o["rms"], pa.float64()),
+            "peak": pa.array(o["peak"], pa.float64())})
+
+
+def audio_window_stats(media_items, *, every_s: float = 1.0,
+                       max_frames: int = 16, concurrency=None,
+                       batch_size: int = 64):
+    """media items (with payloads) → per-window audio statistics."""
+    if concurrency is None:
+        from ..runtime import pool_size
+        concurrency = pool_size()
+    return media_items.map_batches(
+        AudioWindowStats,
+        fn_constructor_kwargs={"every_s": every_s,
+                               "max_frames": max_frames},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
 
 
 # --------------------------------------------------------------------------

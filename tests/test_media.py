@@ -561,3 +561,70 @@ def test_resizer_degrades_on_truncated_payloads(ray_session):
            .take_all())
     assert len(out) == 2
     assert all(len(r["payload"]) > 0 for r in out)   # stub thumbs
+
+
+def test_wav_sample_roundtrip_and_formats():
+    """encode_wav → decode_wav_samples roundtrip; 8-bit and float32
+    containers decode too; exotic codecs raise the seam error."""
+    import struct
+
+    from stanford_relation_extractor_ray.stages.media import (
+        decode_wav_samples, encode_wav)
+    t = np.arange(8000, dtype=np.float64) / 8000.0
+    sig = np.stack([0.5 * np.sin(2 * np.pi * 440 * t),
+                    0.25 * np.sin(2 * np.pi * 220 * t)], axis=1)
+    rate, x = decode_wav_samples(encode_wav(sig, 8000))
+    assert rate == 8000 and x.shape == (8000, 2)
+    assert np.abs(x - sig).max() < 1e-4          # 16-bit quantization
+
+    # float32 (format 3) container
+    pcm = sig[:, 0].astype("<f4").tobytes()
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    rate, x = decode_wav_samples(wav)
+    assert np.abs(x[:, 0] - sig[:, 0].astype(np.float32)).max() == 0
+
+    # a-law (format 6) stays the seam
+    fmt = struct.pack("<HHIIHH", 6, 1, 8000, 8000, 1, 8)
+    wav = (b"RIFF" + struct.pack("<I", 36 + 8) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", 8) + b"\0" * 8)
+    with pytest.raises(NotImplementedError):
+        decode_wav_samples(wav)
+
+
+def test_audio_window_stats_real_and_stub(ray_session):
+    """AudioWindowStats computes real per-window RMS/peak for WAV
+    payloads (constant-amplitude sine → rms ≈ A/√2, peak ≈ A per
+    window) and deterministic stub stats for synthetic payloads."""
+    import ray.data as rd
+
+    from stanford_relation_extractor_ray.stages.media import (
+        AudioWindowStats, encode_wav)
+    rate = 8000
+    t = np.arange(3 * rate, dtype=np.float64) / rate     # 3 s
+    wav = encode_wav(0.8 * np.sin(2 * np.pi * 440 * t), rate)
+    rows = [
+        {"doc_id": "d1", "span_seq": 0, "kind": "audio",
+         "media_ref": "m://a/1.wav", "payload": wav},
+        {"doc_id": "d1", "span_seq": 1, "kind": "audio",
+         "media_ref": "m://a/2.syn",
+         "payload": b"SYNM" + bytes(range(16))},
+        {"doc_id": "d1", "span_seq": 2, "kind": "image",
+         "media_ref": "m://a/3.png", "payload": b"\x89PNG\r\n\x1a\n"},
+    ]
+    out = (rd.from_items(rows)
+           .map_batches(AudioWindowStats,
+                        fn_constructor_kwargs={"every_s": 1.0},
+                        batch_format="pyarrow", concurrency=1)
+           .take_all())
+    real = [r for r in out if r["media_ref"].endswith("1.wav")]
+    stub = [r for r in out if r["media_ref"].endswith("2.syn")]
+    assert len(real) == 3                       # one row per second
+    for r in real:
+        assert abs(r["rms"] - 0.8 / np.sqrt(2)) < 1e-3
+        assert abs(r["peak"] - 0.8) < 1e-3
+    assert stub and all(0 <= r["rms"] < 1 for r in stub)
+    assert not any(r["media_ref"].endswith("3.png") for r in out)
