@@ -68,21 +68,36 @@ def minhash_signature(sh: set[str], a: np.ndarray, b: np.ndarray
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Keep the min-id row per distinct text (hash-partition + per-group
     first; reference analog ``keysToNotDuplicate`` global dedup,
-    ``KBPTrainer.java:155,246``). Output: (id_col, text_col)."""
-    from ray.data.aggregate import Min
+    ``KBPTrainer.java:155,246``). Output: (id_col, text_col).
+
+    The shuffle is a coarse crc32(text) pid — O(CPUs) Ray groups with
+    an Arrow C++ hash-aggregate per partition, never one Ray group per
+    distinct text (whose ~200 µs/group driver overhead is pathological
+    at corpus-scale cardinality; see ``substring_spans``)."""
+    from ..runtime import cluster_cpus
+    n_parts = max(16, cluster_cpus() * 4)
 
     def partial(batch: pa.Table) -> pa.Table:
         # in-batch pre-aggregation (Arrow hash-agg) → the global
         # groupby shuffles at most one row per distinct text per batch
-        return (batch.select([id_col, text_col])
-                .group_by(text_col).aggregate([(id_col, "min")])
-                .rename_columns([text_col, id_col]))
+        agg = (batch.select([id_col, text_col])
+               .group_by(text_col).aggregate([(id_col, "min")])
+               .rename_columns([text_col, id_col]))
+        pid = np.array([zlib.crc32(t.encode()) % n_parts
+                        for t in agg.column(text_col).to_pylist()],
+                       np.int32)
+        return agg.append_column("pid", pa.array(pid))
+
+    def reduce_part(part: pa.Table) -> pa.Table:
+        return (part.group_by(text_col)
+                .aggregate([(id_col, "min")])
+                .rename_columns([text_col, id_col])
+                .select([id_col, text_col]))
 
     return (ds.map_batches(partial, batch_format="pyarrow",
                            batch_size=65536)
-            .groupby(text_col)
-            .aggregate(Min(id_col, alias_name=id_col))
-            .select_columns([id_col, text_col]))
+            .groupby("pid")
+            .map_groups(reduce_part, batch_format="pyarrow"))
 
 
 def minhash_lsh_pairs(ds, *, text_col: str = "text",
