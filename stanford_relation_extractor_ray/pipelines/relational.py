@@ -316,20 +316,41 @@ def event_type_diversity(sf_dir: str):
 def hourly_event_value(sf_dir: str):
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
+    import zlib
+
+    import numpy as np
+    from ..runtime import cluster_cpus
+    n_parts = max(16, cluster_cpus() * 4)
+
     def to_window(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch["ts"], unit="hour")
         t = batch.append_column("window_start", hour)
-        return (t.group_by(["event_type", "window_start"])
-                .aggregate([("value", "sum"), ("value", "count")])
-                .rename_columns(["event_type", "window_start",
-                                 "p_sum", "p_cnt"]))
+        agg = (t.group_by(["event_type", "window_start"])
+               .aggregate([("value", "sum"), ("value", "count")])
+               .rename_columns(["event_type", "window_start",
+                                "p_sum", "p_cnt"]))
+        # coarse pid: the window-key space grows with corpus span ×
+        # event-type cardinality — a Ray group per window pays
+        # ~200 µs each (see dedup.substring_spans); consumers read
+        # sum_value through cents rounding so partition-local float
+        # summation order is below comparison resolution
+        etc = np.array([zlib.crc32(e.encode()) for e in
+                        agg.column("event_type").to_pylist()],
+                       np.int64)
+        ws = agg.column("window_start").cast(pa.int64()).to_numpy()
+        pid = ((etc ^ ws) % n_parts).astype(np.int32)
+        return agg.append_column("pid", pa.array(pid))
 
-    from ray.data.aggregate import Sum
+    def reduce_part(part: pa.Table) -> pa.Table:
+        return (part.group_by(["event_type", "window_start"])
+                .aggregate([("p_sum", "sum"), ("p_cnt", "sum")])
+                .rename_columns(["event_type", "window_start",
+                                 "sum_value", "n_events"]))
+
     return (ds.map_batches(to_window, batch_format="pyarrow",
                            batch_size=65536)
-            .groupby(["event_type", "window_start"])
-            .aggregate(Sum("p_sum", alias_name="sum_value"),
-                       Sum("p_cnt", alias_name="n_events"))
+            .groupby("pid")
+            .map_groups(reduce_part, batch_format="pyarrow")
             .sort(["event_type", "window_start"]))
 
 
