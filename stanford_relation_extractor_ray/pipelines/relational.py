@@ -465,19 +465,28 @@ def high_value_repeat_customers(sf_dir: str, min_orders: int = 15,
     n_parts = max(16, cluster_cpus() * 4)
 
     def partial_counts(batch: pa.Table) -> pa.Table:
-        return (batch.group_by("o_custkey")
-                .aggregate([("o_custkey", "count")])
-                .rename_columns(["o_custkey", "p_n"]))
+        t = (batch.group_by("o_custkey")
+             .aggregate([("o_custkey", "count")])
+             .rename_columns(["o_custkey", "p_n"]))
+        # coarse pid: one Ray group per customer key pays ~200 µs
+        # each (see dedup.substring_spans) — route partial counts to
+        # O(CPUs) partitions and sum + threshold inside each
+        pid = (t.column("o_custkey").to_numpy() % n_parts) \
+            .astype(np.int32)
+        return t.append_column("cpid", pa.array(pid))
 
-    from ray.data.aggregate import Sum
-    many = (_read(sf_dir, "orders", ["o_custkey"])
-            .map_batches(partial_counts, batch_format="pyarrow",
-                         batch_size=65536)
-            .groupby("o_custkey").aggregate(Sum("p_n", alias_name="n")))
-    qualifying = many.map_batches(
-        lambda b: b.filter(pc.greater_equal(b.column("n"),
-                                            min_orders)),
-        batch_format="pyarrow")
+    def reduce_part(part: pa.Table) -> pa.Table:
+        out = (part.group_by("o_custkey")
+               .aggregate([("p_n", "sum")])
+               .rename_columns(["o_custkey", "n"]))
+        return out.filter(pc.greater_equal(out.column("n"),
+                                           min_orders))
+
+    qualifying = (_read(sf_dir, "orders", ["o_custkey"])
+                  .map_batches(partial_counts, batch_format="pyarrow",
+                               batch_size=65536)
+                  .groupby("cpid")
+                  .map_groups(reduce_part, batch_format="pyarrow"))
 
     cust = (_read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
             .map_batches(
