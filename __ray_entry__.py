@@ -229,6 +229,42 @@ def _q_dedup_substring(sf_dir: str):
     return substring_spans(docs, n=5, min_docs=2)
 
 
+def _q_dedup_substring_scrub(sf_dir: str):
+    """Exact-substring dedup removal half: detect flagged 5-grams,
+    broadcast them, scrub every covered token (SpanScrubber) —
+    returns the full corpus with scrubbed text. Single-pass contract
+    (see SpanScrubber docstring): the oracle rebuilds touched docs
+    the same way."""
+    import ray
+    from stanford_relation_extractor_ray.runtime import pool_size
+    from stanford_relation_extractor_ray.stages.dedup import (
+        SpanScrubber, substring_spans)
+    grams = {r["gram"] for r in
+             substring_spans(_docs_with_id_text(sf_dir),
+                             n=5, min_docs=2).take_all()}
+    ref = ray.put(grams)
+    return (_docs_with_id_text(sf_dir)
+            .map_batches(SpanScrubber,
+                         fn_constructor_kwargs={"grams_ref": ref,
+                                                "n": 5},
+                         batch_format="pyarrow", batch_size=4096,
+                         concurrency=pool_size())
+            .sort("doc_id"))
+
+
+def _q_dedup_substring_ranges(sf_dir: str):
+    """Maximal repeated-span ranges: adjacent/overlapping flagged
+    5-gram windows coalesce to one (doc_id, span_start, span_end)
+    row — Lee-et-al.-style variable-length span reporting."""
+    from stanford_relation_extractor_ray.stages.dedup import (
+        substring_span_ranges, substring_spans)
+    grams = [r["gram"] for r in
+             substring_spans(_docs_with_id_text(sf_dir),
+                             n=5, min_docs=2).take_all()]
+    return substring_span_ranges(_docs_with_id_text(sf_dir), grams,
+                                 n=5).sort(["doc_id", "span_start"])
+
+
 def _q_dedup_jaccard(sf_dir: str):
     import ray.data as rd
     from stanford_relation_extractor_ray.stages.dedup import jaccard_pairs
@@ -435,6 +471,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_components": _q_dedup_components,
         "dedup_substring": _q_dedup_substring,
+        "dedup_substring_scrub": _q_dedup_substring_scrub,
+        "dedup_substring_ranges": _q_dedup_substring_ranges,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
@@ -701,6 +739,87 @@ def oracle_sql() -> dict[str, str]:
             FROM g GROUP BY gram
             HAVING COUNT(DISTINCT doc_id) >= 2
             ORDER BY gram
+        """,
+        "dedup_substring_scrub": """
+            WITH toks AS (
+                SELECT doc_id, text, string_split(text, ' ') w
+                FROM documents),
+            win AS (
+                SELECT doc_id, w, unnest(generate_series(
+                    1, greatest(len(w) - 4, 0))) AS i
+                FROM toks),
+            g AS (
+                SELECT doc_id, i,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                       || w[i+3] || ' ' || w[i+4] AS gram
+                FROM win),
+            flagged AS (
+                SELECT gram FROM g GROUP BY gram
+                HAVING COUNT(DISTINCT doc_id) >= 2),
+            hits AS (
+                SELECT doc_id, i FROM g
+                WHERE gram IN (SELECT gram FROM flagged)),
+            dpos AS (
+                SELECT doc_id, unnest(generate_series(i, i + 4)) AS j
+                FROM hits),
+            drops AS (SELECT DISTINCT doc_id, j FROM dpos),
+            tdocs AS (SELECT DISTINCT doc_id FROM drops),
+            pos AS (
+                SELECT t.doc_id, t.w,
+                       unnest(generate_series(1, len(t.w))) AS j
+                FROM toks t JOIN tdocs USING (doc_id)),
+            kept AS (
+                SELECT p.doc_id, p.j, p.w[p.j] AS tok
+                FROM pos p ANTI JOIN drops d
+                  ON d.doc_id = p.doc_id AND d.j = p.j),
+            reb AS (
+                SELECT doc_id,
+                       string_agg(tok, ' ' ORDER BY j) AS scrubbed
+                FROM kept GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CASE WHEN td.doc_id IS NOT NULL
+                        THEN COALESCE(r.scrubbed, '')
+                        ELSE d.text END AS text
+            FROM documents d
+            LEFT JOIN tdocs td USING (doc_id)
+            LEFT JOIN reb r USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "dedup_substring_ranges": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') w
+                FROM documents),
+            win AS (
+                SELECT doc_id, w, unnest(generate_series(
+                    1, greatest(len(w) - 4, 0))) AS i
+                FROM toks),
+            g AS (
+                SELECT doc_id, i,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                       || w[i+3] || ' ' || w[i+4] AS gram
+                FROM win),
+            flagged AS (
+                SELECT gram FROM g GROUP BY gram
+                HAVING COUNT(DISTINCT doc_id) >= 2),
+            hits AS (
+                SELECT doc_id, i FROM g
+                WHERE gram IN (SELECT gram FROM flagged)),
+            m AS (
+                SELECT doc_id, i,
+                       CASE WHEN lag(i) OVER w IS NULL
+                              OR i > lag(i) OVER w + 5
+                            THEN 1 ELSE 0 END AS brk
+                FROM hits
+                WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+            s AS (
+                SELECT doc_id, i,
+                       SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS UNBOUNDED PRECEDING) AS grp
+                FROM m)
+            SELECT doc_id, MIN(i) - 1 AS span_start,
+                   MAX(i) + 4 AS span_end
+            FROM s GROUP BY doc_id, grp
+            ORDER BY doc_id, span_start
         """,
         "dedup_jaccard": """
             WITH toks AS (

@@ -61,3 +61,79 @@ def test_span_scrubber_closes_the_loop(ray_session):
     # untouched docs pass through byte-identical
     texts = {r["doc_id"]: r["text"] for r in scrubbed.take_all()}
     assert texts[4] == "short text" and texts[5] == ""
+
+
+def _old_scrub(rows, grams, n):
+    """The round-4 per-row reference kernel, kept as the equality
+    oracle for the vectorized SpanScrubber."""
+    out = []
+    for r in rows:
+        t = r["text"]
+        toks = t.split(" ") if t else []
+        drop = [False] * len(toks)
+        for i in range(len(toks) - n + 1):
+            if " ".join(toks[i:i + n]) in grams:
+                for j in range(i, i + n):
+                    drop[j] = True
+        if any(drop):
+            t = " ".join(tok for tok, d in zip(toks, drop) if not d)
+        out.append({"doc_id": r["doc_id"], "text": t})
+    return out
+
+
+def test_span_scrubber_matches_row_kernel(ray_session):
+    """Vectorized scrubber is byte-identical to the per-row kernel on
+    edge shapes: full-doc drops, overlapping windows, double spaces,
+    null text, short docs."""
+    import ray
+
+    from stanford_relation_extractor_ray.stages.dedup import SpanScrubber
+
+    docs = DOCS + [
+        {"doc_id": 6, "text": "quick brown fox jumps"},   # fully dropped
+        {"doc_id": 7, "text": "z quick brown fox jumps quick brown "
+                              "fox jumps z"},
+        {"doc_id": 8, "text": "a  b quick brown fox jumps"},  # dbl space
+        {"doc_id": 9, "text": None},
+    ]
+    flagged = {"quick brown fox jumps", "brown fox jumps x"}
+    want = {r["doc_id"]: r["text"]
+            for r in _old_scrub(docs, flagged, 4)}
+    got_ds = rd.from_items(docs).map_batches(
+        SpanScrubber,
+        fn_constructor_kwargs={"grams_ref": ray.put(flagged), "n": 4},
+        batch_format="pyarrow", concurrency=1)
+    got = {r["doc_id"]: r["text"] for r in got_ds.take_all()}
+    assert got == want
+
+
+def test_substring_span_ranges_merges_maximal(ray_session):
+    """Adjacent/overlapping flagged windows coalesce into one
+    (doc, start, end) span; disjoint repeats stay separate rows."""
+    from stanford_relation_extractor_ray.stages.dedup import (
+        substring_span_ranges, substring_spans)
+
+    ds = rd.from_items(DOCS)
+    grams = [r["gram"] for r in
+             substring_spans(ds, n=4, min_docs=2).take_all()]
+    rows = sorted((r["doc_id"], r["span_start"], r["span_end"])
+                  for r in substring_span_ranges(
+                      rd.from_items(DOCS), grams, n=4).take_all())
+    # doc 1: "the [quick brown fox jumps] over..." → tokens 1..5
+    # doc 2: tokens 1..5 ; doc 3: two disjoint repeats 0..4 and 5..9
+    assert rows == [(1, 1, 5), (2, 1, 5), (3, 0, 4), (3, 5, 9)]
+
+
+def test_substring_span_ranges_overlap_merge(ray_session):
+    """Two flagged windows offset by one token merge into a single
+    maximal span covering n+1 tokens."""
+    from stanford_relation_extractor_ray.stages.dedup import \
+        substring_span_ranges
+
+    docs = [{"doc_id": 1, "text": "p a b c d e q"}]
+    # windows at offsets 1 and 2 (n=5): spans [1,6) and [2,7) → [1,7)
+    grams = ["a b c d e", "b c d e q"]
+    rows = [(r["doc_id"], r["span_start"], r["span_end"])
+            for r in substring_span_ranges(
+                rd.from_items(docs), grams, n=5).take_all()]
+    assert rows == [(1, 1, 7)]
