@@ -30,6 +30,14 @@ Huffman); the DCT/IDCT, quantization, color transforms and chroma
 resampling are vectorized numpy over whole planes. At pipeline scale
 this runs inside the media actor pool (one codec instance per actor),
 never on the driver.
+
+Performance note (ADVICE r4): progressive decode runs the bit-serial
+entropy loop once per SCAN (typical emitted scripts have ~10 scans),
+so SOF2 images decode roughly an order of magnitude slower than
+baseline. On a progressive-heavy corpus this dominates the media
+tier; size the media actor pool accordingly (or transcode upstream).
+Refinement scans whose band carries no coefficients still consume
+their bits, so they cannot be skipped without parsing them.
 """
 
 from __future__ import annotations

@@ -259,13 +259,14 @@ def _pnm_header_tokens(payload: bytes) -> tuple[list[str], int]:
 def decode_image_pixels(payload: bytes) -> np.ndarray:
     """Full pixel decode → uint8 array [h, w, channels].
 
-    Real formats covered: PNG (8-bit gray/RGB/RGBA, non-interlaced;
-    zlib inflate + per-row unfilter), BMP (24-bit uncompressed,
-    bottom-up or top-down), PNM P5/P6 (binary), and Huffman JPEG —
-    baseline sequential AND progressive (spectral selection +
-    successive approximation), any integer sampling grid, restart
-    markers — see ``stages/jpegcodec.py``. Only hierarchical/
-    arithmetic JPEG keeps the ``NotImplementedError`` seam.
+    Real formats covered: PNG (8-bit gray/RGB/RGBA AND palette via
+    PLTE/tRNS lookup, non-interlaced; zlib inflate + per-row
+    unfilter), BMP (24-bit uncompressed, bottom-up or top-down), PNM
+    P5/P6 (binary), and Huffman JPEG — baseline sequential AND
+    progressive (spectral selection + successive approximation), any
+    integer sampling grid, restart markers — see
+    ``stages/jpegcodec.py``. Only hierarchical/arithmetic JPEG keeps
+    the ``NotImplementedError`` seam.
     """
     fmt = sniff_format(payload)
     if fmt == "jpeg":
@@ -293,18 +294,22 @@ def decode_image_pixels(payload: bytes) -> np.ndarray:
     if fmt == "png":
         import zlib as _z
         w, h, ch = decode_image_meta(payload, "png")
-        if payload[24] != 8 or payload[28] != 0 or payload[25] == 3:
-            # color type 3 (palette) would otherwise fall through and
-            # return palette INDICES as grayscale pixels
+        color_type = payload[25]
+        if payload[24] != 8 or payload[28] != 0:
             raise NotImplementedError(
-                "only 8-bit non-interlaced gray/RGB/RGBA PNG")
+                "only 8-bit non-interlaced PNG")
         idat = b""
+        plte = trns = None
         pos = 8
         while pos + 8 <= len(payload):
             clen = int.from_bytes(payload[pos:pos + 4], "big")
             ctype = payload[pos + 4:pos + 8]
             if ctype == b"IDAT":
                 idat += payload[pos + 8:pos + 8 + clen]
+            elif ctype == b"PLTE":
+                plte = payload[pos + 8:pos + 8 + clen]
+            elif ctype == b"tRNS":
+                trns = payload[pos + 8:pos + 8 + clen]
             pos += 12 + clen
         raw = _z.decompress(idat)
         stride = w * ch
@@ -337,7 +342,22 @@ def decode_image_pixels(payload: bytes) -> np.ndarray:
                     cur[x] = (line[x] + pred) % 256
             out[y] = cur.astype(np.uint8)
             prev = out[y]
-        return out.reshape(h, w, ch)
+        px = out.reshape(h, w, ch)
+        if color_type == 3:
+            # palette lookup: the unfiltered bytes are PLTE indices
+            # (ch = 1); expand through the palette, with tRNS alpha
+            # when present (entries past the tRNS table are opaque)
+            if plte is None:
+                raise ValueError("palette PNG missing PLTE chunk")
+            pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+            idx = px.reshape(h, w)
+            px = pal[idx]
+            if trns is not None:
+                alpha = np.full(len(pal), 255, dtype=np.uint8)
+                alpha[:len(trns)] = np.frombuffer(trns, np.uint8)
+                px = np.concatenate([px, alpha[idx][..., None]],
+                                    axis=2)
+        return px
     raise NotImplementedError(f"no pixel decoder for {fmt}")
 
 
@@ -464,7 +484,7 @@ class ImageResizer:
             fmt = sniff_format(payload)
             thumb = None
             if fmt in ("png", "bmp", "pnm", "jpeg"):
-                # sniffable-but-unsupported variants (palette PNG,
+                # sniffable-but-unsupported variants (16-bit PNG,
                 # 32bpp BMP, truncated payloads) must degrade to the
                 # stub like any other undecodable payload, not kill
                 # the whole stage. Truncated/corrupt bytes surface as
@@ -564,6 +584,12 @@ class AudioWindowStats:
         try:
             rate, x = decode_wav_samples(payload)
         except (NotImplementedError, ValueError, _zlib.error):
+            return None
+        if len(x) == 0:
+            # structurally valid WAV with an empty data chunk: fall
+            # back to the deterministic stub stats like any other
+            # undecodable payload instead of silently emitting zero
+            # rows (ADVICE r4)
             return None
         mono = x.mean(axis=1)
         dur = len(mono) / rate

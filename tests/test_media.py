@@ -255,24 +255,54 @@ def test_pnm_decode_with_maxval_digits_in_dimensions():
     assert np.array_equal(decode_image_pixels(payload), px)
 
 
-def test_palette_png_rejected_not_grayscale():
-    """Color type 3 (palette) must raise — otherwise the palette
-    INDICES would be returned as grayscale pixels (ADVICE r3)."""
-    import pytest
-    from stanford_relation_extractor_ray.stages.media import \
-        decode_image_pixels
+def _make_palette_png(idx, plte, trns=None):
+    """color-type-3 PNG from an index matrix + palette bytes."""
+    h, w = idx.shape
 
     def chunk(tag, data):
         return (struct.pack(">I", len(data)) + tag + data
                 + struct.pack(">I", _zlib.crc32(tag + data)))
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)   # ct=3
-    plte = bytes(range(12))
-    idat = _zlib.compress(b"\x00\x01\x02\x00\x03\x00")
-    payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-               + chunk(b"PLTE", plte) + chunk(b"IDAT", idat)
-               + chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError):
-        decode_image_pixels(payload)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) \
+        + chunk(b"PLTE", plte)
+    if trns is not None:
+        out += chunk(b"tRNS", trns)
+    return out + chunk(b"IDAT", _zlib.compress(raw)) \
+        + chunk(b"IEND", b"")
+
+
+def test_palette_png_decodes_via_plte():
+    """Color type 3 decodes through the PLTE lookup to the SAME
+    pixels as its direct-RGB twin (round-4 missing-list #2; the
+    round-3 ADVICE rejection is now a real decode)."""
+    from stanford_relation_extractor_ray.stages.media import \
+        decode_image_pixels
+
+    rng = np.random.RandomState(5)
+    pal = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, size=(7, 11), dtype=np.uint8)
+    want = pal[idx]                          # the RGB twin's pixels
+    got = decode_image_pixels(_make_palette_png(idx, pal.tobytes()))
+    assert np.array_equal(got, want)
+    # and the twin built as a direct RGB PNG decodes identically
+    assert np.array_equal(decode_image_pixels(_make_png(want)), got)
+
+
+def test_palette_png_trns_alpha():
+    """A tRNS chunk yields RGBA: listed entries take their alpha,
+    entries past the table are opaque."""
+    from stanford_relation_extractor_ray.stages.media import \
+        decode_image_pixels
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                   dtype=np.uint8)
+    idx = np.array([[0, 1, 2]], dtype=np.uint8)
+    got = decode_image_pixels(
+        _make_palette_png(idx, pal.tobytes(), trns=bytes([7, 200])))
+    assert got.shape == (1, 3, 4)
+    assert list(got[0, :, 3]) == [7, 200, 255]
+    assert np.array_equal(got[..., :3], pal[idx])
 
 
 def test_jpeg_sof_scan_skips_fill_bytes():
@@ -628,3 +658,23 @@ def test_audio_window_stats_real_and_stub(ray_session):
         assert abs(r["peak"] - 0.8) < 1e-3
     assert stub and all(0 <= r["rms"] < 1 for r in stub)
     assert not any(r["media_ref"].endswith("3.png") for r in out)
+
+
+def test_audio_window_stats_empty_wav_falls_to_stub(ray_session):
+    """A structurally valid WAV whose data chunk is empty must emit
+    the deterministic stub windows, not silently zero rows (ADVICE
+    r4)."""
+    import ray.data as rd
+
+    from stanford_relation_extractor_ray.stages.media import (
+        AudioWindowStats, encode_wav)
+    wav = encode_wav(np.empty((0, 1), dtype=np.float64), 8000)
+    out = (rd.from_items([
+        {"doc_id": "d1", "span_seq": 0, "kind": "audio",
+         "media_ref": "m://a/empty.wav", "payload": wav}])
+        .map_batches(AudioWindowStats,
+                     fn_constructor_kwargs={"every_s": 1.0},
+                     batch_format="pyarrow", concurrency=1)
+        .take_all())
+    assert len(out) >= 1                      # stub path produced rows
+    assert all(0 <= r["rms"] < 1 for r in out)
