@@ -55,8 +55,9 @@ def _round_col(ds, col: str, digits: int):
 
 
 def _docs_with_id_text(sf_dir: str):
-    import ray.data as rd
-    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+    from stanford_relation_extractor_ray.storage import \
+        read_parquet_clean
+    return read_parquet_clean(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
 
 
@@ -224,7 +225,9 @@ def _q_dedup_substring(sf_dir: str):
     import ray.data as rd
     from stanford_relation_extractor_ray.stages.dedup import \
         substring_spans
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    from stanford_relation_extractor_ray.storage import \
+        read_parquet_clean
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     return substring_spans(docs, n=5, min_docs=2)
 
@@ -268,7 +271,9 @@ def _q_dedup_substring_ranges(sf_dir: str):
 def _q_dedup_jaccard(sf_dir: str):
     import ray.data as rd
     from stanford_relation_extractor_ray.stages.dedup import jaccard_pairs
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    from stanford_relation_extractor_ray.storage import \
+        read_parquet_clean
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text", "lang"])
     pairs = jaccard_pairs(docs, block_cols=("lang",), k=3,
                           threshold=0.5)
@@ -287,7 +292,9 @@ def _q_dedup_embedding(sf_dir: str):
     import ray.data as rd
     from stanford_relation_extractor_ray.stages.dedup import \
         embedding_dup_pairs
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    from stanford_relation_extractor_ray.storage import \
+        read_parquet_clean
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
     pairs = embedding_dup_pairs(emb, threshold=0.45)
     # ids only: cross-engine float cosines differ in the last ulp and a
@@ -308,7 +315,9 @@ def _q_similarity_topk(sf_dir: str):
     import ray.data as rd
     from stanford_relation_extractor_ray.stages.similarity import \
         topk_cosine
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    from stanford_relation_extractor_ray.storage import \
+        read_parquet_clean
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
     return topk_cosine(emb, _query_vec(sf_dir), k=10)
 
@@ -317,7 +326,9 @@ def _q_similarity_ivf(sf_dir: str):
     import ray.data as rd
     from stanford_relation_extractor_ray.stages.similarity import (
         build_ivf, ivf_topk)
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    from stanford_relation_extractor_ray.storage import \
+        read_parquet_clean
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
     bucketed, cent = build_ivf(emb, n_centroids=8)
     return ivf_topk(bucketed, cent, _query_vec(sf_dir), k=10, n_probe=3)
@@ -328,7 +339,9 @@ def _q_embedding_clusters(sf_dir: str):
 
     from stanford_relation_extractor_ray.stages.clustering import \
         kmeans
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+    from stanford_relation_extractor_ray.storage import \
+        read_parquet_clean
+    emb = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
     assigned, _ = kmeans(emb, k=8, n_iter=5)
     return assigned.select_columns(["vec_id", "cluster"]) \
@@ -378,7 +391,9 @@ def _q_pii_scrub(sf_dir: str):
 
     from stanford_relation_extractor_ray.stages.scrub import \
         scrub_summary
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    from stanford_relation_extractor_ray.storage import \
+        read_parquet_clean
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                          columns=["event_type", "props"])
     return scrub_summary(ev, "props", "event_type",
                          patterns=("number",)).sort("event_type")
@@ -410,6 +425,17 @@ def _q_event_sessions(sf_dir: str):
     return _cents(event_sessions(sf_dir), [("sum_value", 100)])
 
 
+def _q_event_sessions_salted(sf_dir: str):
+    """The hot-key-salted sessionization path under the driver gate:
+    shuffle key (user, 60-min chunk), per-chunk session summaries
+    stitched across boundaries — must equal the unsalted result (and
+    the same SQL oracle) exactly."""
+    from stanford_relation_extractor_ray.pipelines.temporal import \
+        event_sessions
+    return _cents(event_sessions(sf_dir, salt_chunk_minutes=60),
+                  [("sum_value", 100)])
+
+
 def _q_rolling_user_value(sf_dir: str):
     from stanford_relation_extractor_ray.pipelines.temporal import \
         rolling_user_value
@@ -420,7 +446,9 @@ def _q_approx_distinct_users(sf_dir: str):
     import ray.data as rd
     from stanford_relation_extractor_ray.stages.sketches import \
         hll_distinct
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    from stanford_relation_extractor_ray.storage import \
+        read_parquet_clean
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                          columns=["event_type", "user_id"])
     return (hll_distinct(ds, "event_type", "user_id")
             .map_batches(lambda t: t.rename_columns(
@@ -432,7 +460,9 @@ def _q_heavy_hitter_tokens(sf_dir: str):
     import ray.data as rd
     from stanford_relation_extractor_ray.stages.sketches import \
         phi_heavy_hitters
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    from stanford_relation_extractor_ray.storage import \
+        read_parquet_clean
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                          columns=["text"])
     return phi_heavy_hitters(ds, "text", phi=1 / 32)
 
@@ -462,6 +492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_order": _q_events_asof_order,
         "purchase_attribution": _q_purchase_attribution,
         "event_sessions": _q_event_sessions,
+        "event_sessions_salted": _q_event_sessions_salted,
         "rolling_user_value": _q_rolling_user_value,
         # sketch operators (stages/sketches.py)
         "approx_distinct_users": _q_approx_distinct_users,
@@ -625,6 +656,31 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p.event_id ORDER BY purchase_id
         """,
         "event_sessions": """
+            WITH flagged AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w
+                                 > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts, event_id)
+            ), numbered AS (
+                SELECT user_id, ts, value,
+                       CAST(SUM(brk) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                           AS session_id
+                FROM flagged)
+            SELECT user_id, session_id,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   COUNT(*) AS n_events,
+                   CAST(ROUND(SUM(value) * 100, 0) AS BIGINT)
+                       AS sum_value
+            FROM numbered GROUP BY user_id, session_id
+            ORDER BY user_id, session_id
+        """,
+        "event_sessions_salted": """
             WITH flagged AS (
                 SELECT user_id, event_id, ts, value,
                        CASE WHEN lag(ts) OVER w IS NULL

@@ -390,7 +390,8 @@ def run_kg(n_docs: int, *, seed: int = 42, model_ref=None,
             import pyarrow.dataset as pads
             rows = pads.dataset(tmp).count_rows()
             man.commit(part, d, rows)
-        fills = rd.read_parquet(man.completed_files())
+        from ..storage import read_parquet_clean
+        fills = read_parquet_clean(man.completed_files())
 
     consistent = finalize_fills(fills, seed=seed, aliases_ref=aliases_ref)
     # consistency/canonicalization consume the fills twice → materialize

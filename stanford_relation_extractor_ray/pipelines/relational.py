@@ -22,8 +22,9 @@ import pyarrow.compute as pc
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    import ray.data as rd
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from ..storage import read_parquet_clean
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet",
+                              columns=columns)
 
 
 # key-set size below which a semi-/anti-join key side broadcasts

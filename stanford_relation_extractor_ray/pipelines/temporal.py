@@ -54,8 +54,9 @@ from ..runtime import cluster_cpus
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    import ray.data as rd
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from ..storage import read_parquet_clean
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet",
+                              columns=columns)
 
 
 def _n_parts() -> int:

@@ -338,7 +338,12 @@ def _dedupe_pairs(pairs, n_parts: int, extra_col: str | None = None):
         df = group.select(cols).to_pandas()
         df = df.sort_values(cols, kind="mergesort") \
             .drop_duplicates(["id_a", "id_b"], keep="first")
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # strip the pandas schema metadata from_pandas attaches — a
+        # metadata-bearing schema is unhashable (pyarrow hashes the
+        # metadata dict) and downgrades every downstream block unify
+        # to the slow path with a per-block warning
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .replace_schema_metadata(None)
 
     return (pairs.map_batches(add_pid, batch_format="pyarrow")
             .groupby("pid2").map_groups(dedupe, batch_format="pyarrow")

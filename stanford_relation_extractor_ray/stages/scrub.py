@@ -91,7 +91,10 @@ def scrub_summary(ds, text_col: str, group_col: str,
         g = (df.groupby([group_col, form], sort=False, dropna=False)
              ["n_redacted"].agg(n_rows="count", n_red="sum")
              .reset_index())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # replace_schema_metadata: from_pandas' metadata dict makes
+        # the schema unhashable → slow-path block unify + warnings
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
 
     def final(df) -> "object":
         import pandas as pd
