@@ -176,7 +176,7 @@ def main():
         for name in ("pricing_summary", "revenue_by_nation",
                      "hourly_event_value", "dedup_exact",
                      "dedup_minhash_lsh", "dedup_components",
-                     "dedup_substring",
+                     "dedup_substring", "dedup_substring_scrub",
                      "dedup_simhash", "similarity_topk",
                      "text_quality", "text_tokens",
                      "text_repetition", "pii_scrub",
