@@ -65,6 +65,46 @@ def minhash_signature(sh: set[str], a: np.ndarray, b: np.ndarray
 # ---------------------------------------------------------------------------
 
 
+def _doc_shingle_rows(texts, k: int):
+    """Vectorized per-document DISTINCT shingle rows — the batch form
+    of ``shingles()`` (identical semantics: length-k token windows for
+    docs with ≥k tokens, else the whole — possibly empty — text as the
+    single shingle; nulls read as ""). Returns ``(doc_idx, grams,
+    seg_starts)`` with rows doc-contiguous in doc order, distinct
+    within each doc, and every doc owning ≥1 row; ``seg_starts`` are
+    the reduceat segment offsets. One split + one Arrow window join +
+    one hash-aggregate replace the former per-doc Python set builds
+    (minhash signatures and digest sets both consume this)."""
+    n = len(texts)
+    if pa.types.is_null(texts.type):
+        coal = pa.array([""] * n, pa.string())
+    else:
+        coal = pc.coalesce(texts, "")
+        if isinstance(coal, pa.ChunkedArray):
+            coal = coal.combine_chunks()
+    win = _token_windows(coal, k, build_grams=True)
+    if win is None:
+        # every doc short: whole text is its one shingle
+        d = np.arange(n, dtype=np.int64)
+        return d, coal, d
+    counts = win["counts"]
+    short = np.flatnonzero(counts == 0)
+    d_all = win["doc_idx"]
+    g_all = win["grams"]
+    if len(short):
+        d_all = np.concatenate([d_all, short])
+        g_all = pa.concat_arrays([g_all, coal.take(pa.array(short))])
+    uniq = (pa.table({"d": pa.array(d_all), "g": g_all})
+            .group_by(["d", "g"]).aggregate([])
+            .sort_by([("d", "ascending")]))
+    d = uniq.column("d").to_numpy()
+    grams = uniq.column("g").combine_chunks() \
+        if isinstance(uniq.column("g"), pa.ChunkedArray) \
+        else uniq.column("g")
+    seg_starts = np.flatnonzero(np.diff(d, prepend=-1))
+    return d, grams, seg_starts
+
+
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Keep the min-id row per distinct text (hash-partition + per-group
     first; reference analog ``keysToNotDuplicate`` global dedup,
@@ -131,28 +171,36 @@ def minhash_lsh_pairs(ds, *, text_col: str = "text",
     n_parts = max(16, cluster_cpus() * 4)
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        """(id, pid, bucket) rows — one per band; signatures computed
-        once per doc, band hashes folded into a single uint64 bucket
-        key, rows routed to a COARSE partition id so the downstream
-        groupby has O(n_parts) groups, not O(rows)."""
-        ids = batch.column(id_col).to_pylist()
-        texts = batch.column(text_col).to_pylist()
-        nb = len(ids) * bands
-        out_id = np.empty(nb, dtype=np.int64)
-        out_bucket = np.empty(nb, dtype=np.uint64)
-        pos = 0
-        for i, t in zip(ids, texts):
-            sig = minhash_signature(shingles(t, k), a, b)
-            # fold each band's r values + band index into one uint64
-            folded = sig.reshape(bands, r).astype(np.uint64)
-            acc = np.full(bands, 14695981039346656037, dtype=np.uint64)
-            for col in range(r):
-                acc = (acc ^ folded[:, col]) * np.uint64(1099511628211)
-            acc = (acc ^ np.arange(bands, dtype=np.uint64)) \
-                * np.uint64(1099511628211)
-            out_id[pos:pos + bands] = i
-            out_bucket[pos:pos + bands] = acc
-            pos += bands
+        """(id, pid, bucket) rows — one per band; vectorized across
+        the WHOLE batch (``_doc_shingle_rows`` + crc32 once per
+        distinct gram + per-perm ``minimum.reduceat`` over
+        doc-contiguous segments — byte-identical signatures to the
+        per-doc ``minhash_signature`` loop, pinned in
+        tests/test_properties.py). Band hashes fold into a single
+        uint64 bucket key; rows route to a COARSE partition id so the
+        downstream groupby has O(n_parts) groups, not O(rows)."""
+        ids = np.asarray(batch.column(id_col).to_numpy(), np.int64)
+        n_docs = batch.num_rows
+        d, grams, seg = _doc_shingle_rows(
+            batch.column(text_col).combine_chunks(), k)
+        enc = grams.dictionary_encode()
+        dvals = enc.dictionary.to_pylist()     # cross-doc distinct
+        dh = np.fromiter((zlib.crc32(s.encode()) for s in dvals),
+                         np.uint64, len(dvals))
+        hv = dh[enc.indices.to_numpy(zero_copy_only=False)]
+        sig = np.empty((n_docs, num_perm), np.uint64)
+        for i in range(num_perm):
+            sig[:, i] = np.minimum.reduceat(
+                (a[i] * hv + b[i]) % _MERSENNE, seg)
+        folded = sig.reshape(n_docs, bands, r)
+        acc = np.full((n_docs, bands), 14695981039346656037,
+                      dtype=np.uint64)
+        for col in range(r):
+            acc = (acc ^ folded[:, :, col]) * np.uint64(1099511628211)
+        acc = (acc ^ np.arange(bands, dtype=np.uint64)[None, :]) \
+            * np.uint64(1099511628211)
+        out_id = np.repeat(ids, bands)
+        out_bucket = acc.reshape(-1)
         pid = (out_bucket % np.uint64(n_parts)).astype(np.int32)
         return pa.table({"id": out_id, "bucket": out_bucket, "pid": pid})
 
@@ -199,34 +247,37 @@ def minhash_lsh_pairs(ds, *, text_col: str = "text",
     empty_sh = pa.array([], pa.list_(pa.uint64()))
 
     def digests(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        texts = batch.column(text_col).to_pylist()
-        sh_col = []
+        """Per-doc sorted 64-bit shingle-digest sets, vectorized: one
+        ``_doc_shingle_rows`` pass + ONE ``hash_pandas_object`` call
+        over the whole gram column (element hashes are value-based, so
+        this equals the former per-doc Series hashing exactly), then a
+        doc-major lexsort and a ListArray wrap. The digest is
+        genuinely 64-bit siphash13 with a fixed key (process-stable) —
+        NOT a crc32 pair: crc32 is affine, so crc32(b+'#') is a fixed
+        bijection of crc32(b) and the pair carries only 32 bits;
+        birthday collisions from ~77k distinct shingles would inflate
+        the "exact" Jaccard verify at corpus scale."""
         import pandas as pd
-        for t in texts:
-            sh = shingles(t, k)
-            # genuinely-64-bit digest (pandas siphash13, vectorized C,
-            # fixed key → process-stable). NOT a crc32 pair: crc32 is
-            # affine, so crc32(b+'#') is a fixed bijection of crc32(b)
-            # and the pair carries only 32 bits — birthday collisions
-            # from ~77k distinct shingles would inflate the "exact"
-            # Jaccard verify at corpus scale.
-            if sh:
-                arr = pd.util.hash_pandas_object(
-                    pd.Series(list(sh), dtype="object"),
-                    index=False).to_numpy().astype(np.uint64)
-                arr.sort()
-            else:
-                arr = np.empty(0, dtype=np.uint64)
-            sh_col.append(arr)
+        ids = np.asarray(batch.column(id_col).to_numpy(), np.int64)
+        n_docs = batch.num_rows
+        d, grams, _seg = _doc_shingle_rows(
+            batch.column(text_col).combine_chunks(), k)
+        h = pd.util.hash_pandas_object(
+            grams.to_pandas().astype("object"), index=False) \
+            .to_numpy().astype(np.uint64)
+        order = np.lexsort((h, d))
+        h = h[order]
+        counts = np.bincount(d, minlength=n_docs)
+        offs = np.concatenate(([0], np.cumsum(counts)))
+        sh = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                      pa.array(h, pa.uint64()))
         return pa.table({
             "jid": pa.array(ids, pa.int64()),
             "id_a": pa.array(ids, pa.int64()),
-            "id_b": pa.array([-1] * len(ids), pa.int64()),
-            "sh": pa.array([a.tolist() for a in sh_col],
-                           pa.list_(pa.uint64())),
-            "sh_a": pa.nulls(len(ids), pa.list_(pa.uint64())),
-            "side": pa.array(["D"] * len(ids), pa.string()),
+            "id_b": pa.array([-1] * n_docs, pa.int64()),
+            "sh": sh,
+            "sh_a": pa.nulls(n_docs, pa.list_(pa.uint64())),
+            "side": pa.array(["D"] * n_docs, pa.string()),
         })
 
     def _with_join_pid(t: pa.Table) -> pa.Table:

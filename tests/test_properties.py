@@ -160,3 +160,58 @@ def test_trigger_marks_reconstruct_real_phrases(prefix, suffix):
         run = tuple(t.lower() for t in toks[i:j])
         assert any(seq == run[:len(seq)]
                    for seq in phrases[label]), (run, label)
+
+
+def test_doc_shingle_rows_matches_per_doc_sets():
+    """The vectorized batch shingle kernel (`_doc_shingle_rows`) and
+    the per-doc `shingles()` set builder agree on every edge shape:
+    short docs (whole-text shingle), empty text, null text, duplicate
+    windows, multi-space runs."""
+    import numpy as np
+    import pyarrow as pa
+
+    from stanford_relation_extractor_ray.stages.dedup import (
+        _doc_shingle_rows, shingles)
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "a b", "", None, "x y x y x y x y", "a  b c   d e f",
+             "one two three"]
+    d, grams, seg = _doc_shingle_rows(pa.array(texts, pa.string()), 3)
+    got = {}
+    for di, g in zip(d, grams.to_pylist()):
+        got.setdefault(int(di), set()).add(g)
+    for i, t in enumerate(texts):
+        assert got[i] == shingles(t or "", 3), f"doc {i}"
+    # doc-contiguous, every doc owns >=1 row, seg offsets per doc
+    assert list(np.diff(d) >= 0) == [True] * (len(d) - 1)
+    assert len(seg) == len(texts)
+
+
+def test_vectorized_minhash_signature_equality():
+    """The reduceat signature path in `to_bands` equals the per-doc
+    `minhash_signature` on the same shingle sets (same crc32 values →
+    same per-perm minima)."""
+    import numpy as np
+    import pyarrow as pa
+    import zlib
+
+    from stanford_relation_extractor_ray.stages.dedup import (
+        _MERSENNE, _doc_shingle_rows, _perm_params, minhash_signature,
+        shingles)
+
+    texts = ["the quick brown fox jumps over the dog",
+             "a b", "", "x y x y x y", "one two three four five"]
+    a, b = _perm_params(16, 7)
+    d, grams, seg = _doc_shingle_rows(pa.array(texts, pa.string()), 3)
+    enc = grams.dictionary_encode()
+    dh = np.fromiter((zlib.crc32(s.encode())
+                      for s in enc.dictionary.to_pylist()),
+                     np.uint64, len(enc.dictionary))
+    hv = dh[enc.indices.to_numpy(zero_copy_only=False)]
+    sig = np.empty((len(texts), 16), np.uint64)
+    for i in range(16):
+        sig[:, i] = np.minimum.reduceat((a[i] * hv + b[i]) % _MERSENNE,
+                                        seg)
+    for i, t in enumerate(texts):
+        want = minhash_signature(shingles(t, 3), a, b)
+        assert np.array_equal(sig[i], want), f"doc {i}"
