@@ -417,6 +417,38 @@ def simhash64(text: str, k: int = 1) -> int:
     return int.from_bytes(np.packbits(v > 0).tobytes(), "big")
 
 
+def _simhash64_batch(texts, k: int = 1) -> np.ndarray:
+    """Batch form of ``simhash64`` — bit-identical (same per-shingle
+    blake2b digests, and Σ(2b−1) over a doc's shingles is order-free):
+    distinct shingle rows for the whole batch, blake2b once per
+    DISTINCT gram across docs, unpackbits on the distinct digest
+    matrix, per-doc bit sums via one ``add.reduceat``, sign-pack."""
+    d, grams, seg = _doc_shingle_rows(texts, k)
+    enc = grams.dictionary_encode()
+    dvals = enc.dictionary.to_pylist()
+    dig = b"".join(hashlib.blake2b(s.encode(), digest_size=8).digest()
+                   for s in dvals)
+    # big-endian uint64 per distinct digest: bit p of the packed value
+    # is exactly simhash64's unpackbits column 63-p, so the per-bit
+    # majority below reproduces its packbits output bit-for-bit —
+    # WITHOUT materializing a [rows, 64] bit matrix (the gather +
+    # reduceat on it measured 5x slower than this shift loop)
+    h64 = np.frombuffer(dig, dtype=">u8").astype(np.uint64) \
+        if dvals else np.zeros(0, np.uint64)
+    hv = h64[enc.indices.to_numpy(zero_copy_only=False)]
+    n_sh = np.diff(np.append(seg, len(d)))
+    out = np.zeros(len(seg), np.uint64)
+    for p in range(64):
+        s = np.add.reduceat(
+            ((hv >> np.uint64(p)) & np.uint64(1)).astype(np.int64),
+            seg)
+        out |= ((s * 2 - n_sh) > 0).astype(np.uint64) << np.uint64(p)
+    # simhash64 returns 0 for an empty shingle set; _doc_shingle_rows
+    # gives every doc >= 1 shingle ('' for empty text), matching
+    # shingles()'s own never-empty contract — no special case needed
+    return out
+
+
 def simhash_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
                   radius: int = 3, k: int = 1):
     """Near-dup pairs with hamming(simhash) ≤ radius.
@@ -433,27 +465,26 @@ def simhash_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
     n_parts = max(16, cluster_cpus() * 4)
 
     def to_blocks(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        texts = batch.column(text_col).to_pylist()
-        n = len(ids)
-        out_id = np.empty(n * n_blocks, dtype=np.int64)
-        out_bucket = np.empty(n * n_blocks, dtype=np.uint64)
-        out_sh = np.empty(n * n_blocks, dtype=np.uint64)
-        pos = 0
-        for i, t in zip(ids, texts):
-            h = simhash64(t, k)
-            for bi in range(n_blocks):
-                bval = (h >> (bi * width)) & ((1 << width) - 1)
-                out_id[pos] = i
-                # bucket key = (block index, block value) folded
-                out_bucket[pos] = (np.uint64(bval) *
-                                   np.uint64(1099511628211)) \
-                    ^ np.uint64(bi)
-                out_sh[pos] = h
-                pos += 1
+        """Vectorized across the batch: one ``_doc_shingle_rows``
+        pass, blake2b once per DISTINCT gram, per-doc bit sums via
+        ``add.reduceat`` — hashes bit-identical to the per-doc
+        ``simhash64`` loop (pinned in tests/test_properties.py); the
+        block explosion is numpy shifts over the whole hash vector."""
+        ids = np.asarray(batch.column(id_col).to_numpy(), np.int64)
+        n = batch.num_rows
+        hs = _simhash64_batch(batch.column(text_col).combine_chunks(),
+                              k)
+        # explode each doc to its n_blocks (block index, block value)
+        # bucket keys
+        bi = np.tile(np.arange(n_blocks, dtype=np.uint64), n)
+        hrep = np.repeat(hs, n_blocks)
+        bval = (hrep >> (bi * np.uint64(width))) \
+            & np.uint64((1 << width) - 1)
+        out_bucket = (bval * np.uint64(1099511628211)) ^ bi
         pid = (out_bucket % np.uint64(n_parts)).astype(np.int32)
-        return pa.table({"id": out_id, "bucket": out_bucket,
-                         "sh": out_sh, "pid": pid})
+        return pa.table({"id": np.repeat(ids, n_blocks),
+                         "bucket": out_bucket, "sh": hrep,
+                         "pid": pid})
 
     def partition_pairs(group: pa.Table) -> pa.Table:
         """One coarse partition: dict-group by bucket key, verify

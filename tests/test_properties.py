@@ -215,3 +215,18 @@ def test_vectorized_minhash_signature_equality():
     for i, t in enumerate(texts):
         want = minhash_signature(shingles(t, 3), a, b)
         assert np.array_equal(sig[i], want), f"doc {i}"
+
+
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=40),
+                min_size=1, max_size=12))
+def test_simhash_batch_equals_per_doc(texts):
+    """`_simhash64_batch` is bit-identical to per-doc `simhash64`."""
+    import numpy as np
+    import pyarrow as pa
+
+    from stanford_relation_extractor_ray.stages.dedup import (
+        _simhash64_batch, simhash64)
+
+    got = _simhash64_batch(pa.array(texts, pa.string()), 1)
+    want = np.array([simhash64(t, 1) for t in texts], np.uint64)
+    assert np.array_equal(got, want)
