@@ -834,6 +834,47 @@ class SpanScrubber:
         return batch.set_column(idx, self.text_col, out)
 
 
+def scrub_repeats(ds, *, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 5,
+                  min_docs: int = 2, max_rounds: int = 10):
+    """Detect→scrub to a FIXPOINT: iterate ``substring_spans`` +
+    ``SpanScrubber`` until no n-gram appears in ≥ ``min_docs``
+    documents. One scrub pass is not idempotent — re-joining
+    survivors can create new cross-document n-grams spanning the
+    removed regions (the ``SpanScrubber`` single-pass contract) — so
+    exactness-requiring callers use this loop. Returns
+    ``(scrubbed_ds, rounds)``; each round is one detection shuffle +
+    one broadcast scrub pass, and real corpora converge in 1-2 rounds
+    (new shared grams require newly-adjacent survivors to align
+    across ≥ min_docs documents).
+
+    The flagged gram set is output-bounded and collected per round to
+    broadcast (the SpanScrubber contract); the corpus itself never
+    lands on the driver."""
+    import ray
+
+    from ..runtime import pool_size
+    for rounds in range(max_rounds):
+        flagged = substring_spans(ds, text_col=text_col,
+                                  id_col=id_col, n=n,
+                                  min_docs=min_docs)
+        grams = {r["gram"] for r in
+                 flagged.select_columns(["gram"]).take_all()}
+        if not grams:
+            return ds, rounds
+        ref = ray.put(grams)
+        ds = ds.map_batches(
+            SpanScrubber,
+            fn_constructor_kwargs={"grams_ref": ref,
+                                   "text_col": text_col, "n": n},
+            batch_format="pyarrow", batch_size=4096,
+            concurrency=pool_size()).materialize()
+    raise RuntimeError(
+        f"scrub_repeats did not reach a repeat-free fixpoint in "
+        f"{max_rounds} rounds — the corpus keeps regenerating shared "
+        f"n-grams; raise max_rounds or lower min_docs pressure")
+
+
 def substring_span_ranges(ds, grams, *, text_col: str = "text",
                           id_col: str = "doc_id", n: int = 5):
     """Maximal repeated-span ranges per document — the step toward

@@ -137,3 +137,42 @@ def test_substring_span_ranges_overlap_merge(ray_session):
             for r in substring_span_ranges(
                 rd.from_items(docs), grams, n=5).take_all()]
     assert rows == [(1, 1, 7)]
+
+
+def test_scrub_repeats_fixpoint(ray_session):
+    """One scrub pass can CREATE new cross-doc n-grams (survivors
+    become adjacent); scrub_repeats iterates to a repeat-free
+    fixpoint. Here doc1 collapses to 'm n o p' after round 1 and only
+    then shares grams with doc3 — two rounds needed."""
+    from stanford_relation_extractor_ray.stages.dedup import (
+        scrub_repeats, substring_spans)
+
+    docs = [
+        {"doc_id": 1, "text": "m n a b c o p"},
+        {"doc_id": 2, "text": "q r a b c s t"},
+        {"doc_id": 3, "text": "m n o p x1 x2"},
+    ]
+    one_pass = substring_spans(rd.from_items(docs), n=3,
+                               min_docs=2).take_all()
+    assert [r["gram"] for r in one_pass] == ["a b c"]
+    out, rounds = scrub_repeats(rd.from_items(docs), n=3, min_docs=2)
+    assert rounds == 2
+    assert substring_spans(out, n=3, min_docs=2).count() == 0
+    texts = {r["doc_id"]: r["text"] for r in out.take_all()}
+    # round 1: doc1 -> 'm n o p', doc2 -> 'q r s t';
+    # round 2: 'm n o'/'n o p' now shared with doc3 -> scrubbed
+    assert texts[2] == "q r s t"
+    assert texts[1] == "" and texts[3] == "x1 x2"
+
+
+def test_scrub_repeats_already_clean(ray_session):
+    """A repeat-free corpus returns unchanged with rounds=0."""
+    from stanford_relation_extractor_ray.stages.dedup import \
+        scrub_repeats
+
+    docs = [{"doc_id": 1, "text": "only one doc here"},
+            {"doc_id": 2, "text": "nothing shared at all"}]
+    out, rounds = scrub_repeats(rd.from_items(docs), n=3, min_docs=2)
+    assert rounds == 0
+    assert {r["text"] for r in out.take_all()} == \
+        {d["text"] for d in docs}
