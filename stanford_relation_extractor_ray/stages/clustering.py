@@ -71,8 +71,8 @@ def kmeans(ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
 
         def partial(batch: pa.Table) -> pa.Table:
             cent = ray.get(cent_ref)
-            mat = np.array(batch.column(vec_col).to_pylist(),
-                           dtype=np.float64)
+            from .similarity import vec_matrix
+            mat = vec_matrix(batch.column(vec_col))
             lab = _assign(mat, cent)
             q = _quantize(mat)
             rows = {"cluster": [], "count": [], "qsum": []}
@@ -115,8 +115,8 @@ def kmeans(ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
 
     def tag(batch: pa.Table) -> pa.Table:
         cent = ray.get(cent_ref)
-        mat = np.array(batch.column(vec_col).to_pylist(),
-                       dtype=np.float64)
+        from .similarity import vec_matrix
+        mat = vec_matrix(batch.column(vec_col))
         return batch.append_column(
             "cluster", pa.array(_assign(mat, cent).astype(np.int32)))
 

@@ -1011,7 +1011,7 @@ def embedding_dup_pairs(ds, *, vec_col: str = "embedding",
     each group is ~n·n_probe/C vectors, and the bucket id doubles as a
     partition key at scale. Output: (id_a, id_b, cosine), id_a < id_b.
     """
-    from .similarity import _normalize
+    from .similarity import _normalize, vec_matrix
     from ..runtime import cluster_cpus
     n_parts = max(16, cluster_cpus() * 4)
 
@@ -1035,19 +1035,26 @@ def embedding_dup_pairs(ds, *, vec_col: str = "embedding",
 
     def to_buckets(batch: pa.Table) -> pa.Table:
         ids = np.array(batch.column(id_col).to_pylist())
-        mat = _normalize(np.array(batch.column(vec_col).to_pylist(),
-                                  dtype=np.float64))
+        mat = _normalize(vec_matrix(batch.column(vec_col)))
         sims = mat @ cent.T
         p = min(n_probe, sims.shape[1])
         probes = np.argpartition(-sims, p - 1, axis=1)[:, :p]
         out_id = np.repeat(ids, p)
         out_bucket = probes.reshape(-1).astype(np.int32)
         out_vec = np.repeat(mat, p, axis=0)
+        # list array straight from the flat buffer (no per-row
+        # tolist); offset-based so empty batches keep the same
+        # list<double> type as full ones
+        dimv = out_vec.shape[1] if out_vec.size else 0
+        offs = np.arange(out_vec.shape[0] + 1, dtype=np.int32) * dimv
+        vec_arr = pa.ListArray.from_arrays(
+            pa.array(offs),
+            pa.array(out_vec.reshape(-1), pa.float64()))
         return pa.table({
             "id": pa.array(out_id, pa.int64()),
             "bucket": pa.array(out_bucket, pa.int32()),
             "pid": pa.array((out_bucket % n_parts).astype(np.int32)),
-            "vec": pa.array(out_vec.tolist(), pa.list_(pa.float64())),
+            "vec": vec_arr,
         })
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
@@ -1055,8 +1062,7 @@ def embedding_dup_pairs(ds, *, vec_col: str = "embedding",
         among members, emit (id_a, id_b, cosine) above threshold."""
         ids = group.column("id").to_numpy()
         buckets = group.column("bucket").to_numpy()
-        vecs = np.array(group.column("vec").to_pylist(),
-                        dtype=np.float64)
+        vecs = vec_matrix(group.column("vec"))
         order = np.lexsort((ids, buckets))
         ids, buckets, vecs = ids[order], buckets[order], vecs[order]
         out_a, out_b, out_s = [], [], []
