@@ -130,6 +130,29 @@ def _q_kg_official_eval(sf_dir: str):
         "n_queries": len(out["queries"])}])
 
 
+def _q_kg_probabilistic_edges(sf_dir: str):
+    """Probabilistic graph inference (MLN/BLN path, SURVEY §2.10):
+    weighted transitive rules grounded per query-entity neighborhood,
+    seeded Gibbs MAP, inferred edges only. Deterministic end-to-end
+    (content-derived seeds), pinned by a golden CSV."""
+    from stanford_relation_extractor_ray.stages import mln
+    fills = _kg_fills(sf_dir).materialize()
+    subjects = sorted({r["subj"] for r in
+                       fills.select_columns(["subj"]).take_all()})
+    rules = [
+        mln.Rule(2.0, (("org:parents", "x", "y"),
+                       ("org:parents", "y", "z")),
+                 ("org:parents", "x", "z")),
+        mln.Rule(2.0, (("per:member_of", "x", "y"),
+                       ("org:member_of", "y", "z")),
+                 ("per:member_of", "x", "z")),
+    ]
+    out = mln.probabilistic_infer(fills, subjects, rules,
+                                  max_dist=2, n_iters=400)
+    return (out.select_columns(["subj", "pred", "obj"])
+            .sort(["subj", "pred", "obj"]))
+
+
 def _q_kg_open_triples(sf_dir: str):
     """ReVerb-style open IE over the corpus sentences (distinct
     triples with support counts)."""
@@ -523,6 +546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes": _q_kg_graph_nodes,
         "kg_symmetric_edges": _q_kg_symmetric,
         "kg_transitive_edges": _q_kg_transitive,
+        "kg_probabilistic_edges": _q_kg_probabilistic_edges,
         "kg_alternate_names": _q_kg_alternate_names,
         "kg_eval_score": _q_kg_eval,
         "kg_official_eval": _q_kg_official_eval,
@@ -1037,6 +1061,12 @@ def oracle_sql() -> dict[str, str]:
         "kg_transitive_edges": f"""
             SELECT subj, pred, obj FROM read_csv(
                 '{_GOLDEN}/kg_transitive_edges_sf0_01.csv', header=true)
+            ORDER BY subj, pred, obj
+        """,
+        "kg_probabilistic_edges": f"""
+            SELECT subj, pred, obj FROM read_csv(
+                '{_GOLDEN}/kg_probabilistic_edges_sf0_01.csv',
+                header=true)
             ORDER BY subj, pred, obj
         """,
         "kg_alternate_names": f"""

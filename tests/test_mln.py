@@ -1,0 +1,132 @@
+"""Probabilistic graph inference (stages/mln.py): rule parsing, BLN
+acyclic selection, grounding, Gibbs MAP, and the distributed per-query
+dataflow. Reference semantics: BayesNet.java / BayesNetBuilder.java /
+BayesianLogicNetwork.java (off by default there; first-class here)."""
+
+import math
+
+import pytest
+
+from stanford_relation_extractor_ray.stages.mln import (
+    Rule, ground_network, gibbs_map, infer_subgraph, make_acyclic,
+    parse_mln_rules, probabilistic_infer)
+
+
+def _edge(s, p, o, score=0.9, st="PERSON", ot="PERSON"):
+    return {"subj": s, "subj_type": st, "pred": p, "obj": o,
+            "obj_type": ot, "score": score, "doc_id": f"d-{s}-{o}",
+            "sent_idx": 1, "subj_span": [0, 1], "obj_span": [2, 3]}
+
+
+GRANDPARENT = Rule(
+    3.0,
+    (("per:parents", "x", "y"), ("per:parents", "y", "z")),
+    ("per:grandparents", "x", "z"))
+
+
+def test_parse_mln_rules():
+    rules = parse_mln_rules("""
+        // a comment
+        per:parents(PERSON, PERSON)
+        3.0  !per:parents(x,y) v !per:parents(y,z) v per:grandparents(x,z)
+        -1.5 !org:member_of(a,b) v per:spouse(a,b)
+    """)
+    assert len(rules) == 2
+    assert rules[0] == GRANDPARENT
+    assert rules[1].weight == -1.5
+    assert rules[1].antecedents == (("org:member_of", "a", "b"),)
+    # weight → clipped probability (log-odds through a sigmoid)
+    assert abs(rules[0].prob - 1 / (1 + math.exp(-3.0))) < 1e-12
+    with pytest.raises(ValueError):
+        parse_mln_rules("1.0 !p(x,y) v q(x,y) v r(x,y)")
+
+
+def test_make_acyclic_rejects_loops():
+    a_to_b = Rule(1.0, (("a", "x", "y"),), ("b", "x", "y"))
+    b_to_a = Rule(2.0, (("b", "x", "y"),), ("a", "x", "y"))
+    # reference order (ascending weight): a→b enters first, b→a loops
+    kept = make_acyclic([a_to_b, b_to_a])
+    assert kept == [a_to_b]
+    # strong-first order keeps the heavier rule instead
+    kept = make_acyclic([a_to_b, b_to_a], ascending=False)
+    assert kept == [b_to_a]
+    # self-loop is always rejected
+    assert make_acyclic([Rule(1.0, (("a", "x", "y"),),
+                              ("a", "y", "x"))]) == []
+
+
+def test_grounding_chains_consequents():
+    edges = [_edge("a", "per:parents", "b"),
+             _edge("b", "per:parents", "c"),
+             _edge("c", "per:parents", "d")]
+    chain = Rule(3.0,
+                 (("per:parents", "x", "y"),
+                  ("per:grandparents", "y", "z")),
+                 ("per:greatgrand", "x", "z"))
+    lits, priors, fixed, init, factors, meta = ground_network(
+        edges, [GRANDPARENT, chain])
+    names = set(lits)
+    assert ("per:grandparents", "a", "c") in names
+    assert ("per:grandparents", "b", "d") in names
+    # depth-2 chaining: greatgrand needs a grandparents literal bound
+    assert ("per:greatgrand", "a", "d") in names
+    assert fixed.sum() == 3 and init.sum() == 3
+    assert meta["evidence"] == {("per:parents", "a", "b"),
+                                ("per:parents", "b", "c"),
+                                ("per:parents", "c", "d")}
+
+
+def test_gibbs_map_strong_rule_fires():
+    """With fixed-true evidence and a strong rule, MAP sets the
+    consequent true; with a strongly negative rule it stays false."""
+    for weight, want in ((4.0, True), (-4.0, False)):
+        rule = Rule(weight,
+                    (("per:parents", "x", "y"),
+                     ("per:parents", "y", "z")),
+                    ("per:grandparents", "x", "z"))
+        edges = [_edge("a", "per:parents", "b"),
+                 _edge("b", "per:parents", "c")]
+        lits, priors, fixed, init, factors, _ = ground_network(
+            edges, [rule])
+        assign = gibbs_map(len(lits), priors, fixed, init, factors,
+                           n_iters=400, seed=7)
+        idx = lits.index(("per:grandparents", "a", "c"))
+        assert bool(assign[idx]) is want, weight
+
+
+def test_infer_subgraph_scores_and_provenance():
+    edges = [_edge("a", "per:parents", "b", score=0.8),
+             _edge("b", "per:parents", "c", score=0.6)]
+    out = infer_subgraph(edges, [GRANDPARENT], n_iters=400, seed=3)
+    assert [(r["subj"], r["pred"], r["obj"]) for r in out] == \
+        [("a", "per:grandparents", "c")]
+    r = out[0]
+    # score = rule prob × min(antecedent scores)
+    assert abs(r["score"] - GRANDPARENT.prob * 0.6) < 1e-9
+    # provenance rides from an antecedent evidence edge
+    assert r["doc_id"] in ("d-a-b", "d-b-c")
+    assert r["subj_type"] == "PERSON" and r["obj_type"] == "PERSON"
+
+
+def test_probabilistic_infer_distributed(ray_session):
+    """End-to-end dataflow: per-query neighborhoods, grouped Gibbs,
+    max combine — and partitioning invariance (content-derived
+    seeds)."""
+    import ray.data as rd
+
+    rows = [_edge("a", "per:parents", "b"),
+            _edge("b", "per:parents", "c"),
+            _edge("x", "per:parents", "y"),       # other neighborhood
+            _edge("p", "org:member_of", "q")]     # irrelevant pred
+
+    def run(n_blocks):
+        ds = rd.from_items(rows).repartition(n_blocks)
+        out = probabilistic_infer(ds, ["a", "x"], [GRANDPARENT],
+                                  max_dist=2, n_iters=300)
+        return sorted((r["subj"], r["pred"], r["obj"], round(r["score"], 9))
+                      for r in out.take_all())
+
+    got = run(1)
+    assert got == [("a", "per:grandparents", "c",
+                    round(GRANDPARENT.prob * 0.9, 9))]
+    assert run(4) == got
