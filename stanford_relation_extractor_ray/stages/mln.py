@@ -123,6 +123,25 @@ def make_acyclic(rules: list[Rule], *,
     return kept
 
 
+def rules_from_mined(mined, *, min_confidence: float = 0.5) -> list[Rule]:
+    """Mined length-2 Horn rules (``graph_infer.mine_rules`` output:
+    p, q, head, confidence) → weighted MLN rules, weight = the
+    confidence's clipped log-odds — the ``MineInferentialPaths`` →
+    rules-file → ``ProbabilisticGraphInferenceEngine`` handoff as one
+    in-process step."""
+    out: list[Rule] = []
+    for row in (mined.to_dict("records")
+                if hasattr(mined, "to_dict") else mined):
+        c = min(_P_MAX, max(_P_MIN, float(row["confidence"])))
+        if c < min_confidence:
+            continue
+        out.append(Rule(
+            math.log(c / (1.0 - c)),
+            ((row["p"], "x", "y"), (row["q"], "y", "z")),
+            (row["head"], "x", "z")))
+    return out
+
+
 # --------------------------------------------------------------------------
 # grounding + Gibbs over one (small) query subgraph
 # --------------------------------------------------------------------------

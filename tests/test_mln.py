@@ -130,3 +130,48 @@ def test_probabilistic_infer_distributed(ray_session):
     assert got == [("a", "per:grandparents", "c",
                     round(GRANDPARENT.prob * 0.9, 9))]
     assert run(4) == got
+
+
+def test_rules_from_mined_and_end_to_end(ray_session):
+    """mine_rules → rules_from_mined → probabilistic_infer: the mined
+    transitive pattern re-infers the direct edge family it was mined
+    from, weighted by its confidence log-odds."""
+    import math
+
+    import ray.data as rd
+
+    from stanford_relation_extractor_ray.stages.graph_infer import \
+        mine_rules
+    from stanford_relation_extractor_ray.stages.mln import \
+        rules_from_mined
+
+    # p∘p ⇒ p holds on 5 of 6 bridge paths (g→h→i lacks g→i) →
+    # confidence 5/6, logit ≈ 1.609 — strong enough to beat the 0.2
+    # default prior (logit 1.386); a 2/3-confidence rule would
+    # CORRECTLY not fire under MAP
+    supported = (("a", "b", "c"), ("d", "e", "f"), ("j", "k", "l"),
+                 ("m", "n", "o"), ("u", "v", "w"))
+    rows = []
+    for s, m, o in supported:
+        rows += [_edge(s, "org:parents", m, st="ORGANIZATION",
+                       ot="ORGANIZATION"),
+                 _edge(m, "org:parents", o, st="ORGANIZATION",
+                       ot="ORGANIZATION"),
+                 _edge(s, "org:parents", o, st="ORGANIZATION",
+                       ot="ORGANIZATION")]
+    rows += [_edge("g", "org:parents", "h", st="ORGANIZATION",
+                   ot="ORGANIZATION"),
+             _edge("h", "org:parents", "i", st="ORGANIZATION",
+                   ot="ORGANIZATION")]
+    mined = mine_rules(rd.from_items(rows), min_support=2,
+                       min_confidence=0.5)
+    rules = rules_from_mined(mined)
+    assert len(rules) == 1
+    r = rules[0]
+    assert r.consequent == ("org:parents", "x", "z")
+    assert abs(r.weight - math.log((5 / 6) / (1 / 6))) < 1e-9
+    inferred = probabilistic_infer(
+        rd.from_items(rows), ["g"], rules, max_dist=2,
+        n_iters=300).take_all()
+    assert [(x["subj"], x["pred"], x["obj"]) for x in inferred] == \
+        [("g", "org:parents", "i")]
