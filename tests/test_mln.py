@@ -175,3 +175,16 @@ def test_rules_from_mined_and_end_to_end(ray_session):
         n_iters=300).take_all()
     assert [(x["subj"], x["pred"], x["obj"]) for x in inferred] == \
         [("g", "org:parents", "i")]
+
+
+def test_probabilistic_infer_empty_inputs(ray_session):
+    """No query entities / no matching rules → empty result, not a
+    crash (the empty-partition paths through tag/infer/combine)."""
+    import ray.data as rd
+
+    rows = [_edge("a", "per:parents", "b")]
+    assert probabilistic_infer(rd.from_items(rows), [], [GRANDPARENT],
+                               max_dist=1, n_iters=50).count() == 0
+    assert probabilistic_infer(rd.from_items(rows), ["zz"],
+                               [GRANDPARENT], max_dist=1,
+                               n_iters=50).count() == 0
