@@ -577,7 +577,7 @@ def _cents(ds, cols):
 # --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(ROUND(SUM(l_quantity), 0) AS BIGINT) AS sum_qty,
@@ -680,31 +680,6 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p.event_id ORDER BY purchase_id
         """,
         "event_sessions": """
-            WITH flagged AS (
-                SELECT user_id, event_id, ts, value,
-                       CASE WHEN lag(ts) OVER w IS NULL
-                              OR ts - lag(ts) OVER w
-                                 > INTERVAL 30 MINUTE
-                            THEN 1 ELSE 0 END AS brk
-                FROM events
-                WINDOW w AS (PARTITION BY user_id
-                             ORDER BY ts, event_id)
-            ), numbered AS (
-                SELECT user_id, ts, value,
-                       CAST(SUM(brk) OVER (
-                           PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
-                           AS session_id
-                FROM flagged)
-            SELECT user_id, session_id,
-                   MIN(ts) AS session_start, MAX(ts) AS session_end,
-                   COUNT(*) AS n_events,
-                   CAST(ROUND(SUM(value) * 100, 0) AS BIGINT)
-                       AS sum_value
-            FROM numbered GROUP BY user_id, session_id
-            ORDER BY user_id, session_id
-        """,
-        "event_sessions_salted": """
             WITH flagged AS (
                 SELECT user_id, event_id, ts, value,
                        CASE WHEN lag(ts) OVER w IS NULL
@@ -1098,3 +1073,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY subj, rel, obj
         """,
     }
+    # the salted session path is DEFINED to equal the unsalted one —
+    # one oracle string, two queries, so a future sessionization-SQL
+    # fix cannot silently diverge between them
+    out["event_sessions_salted"] = out["event_sessions"]
+    return out

@@ -222,9 +222,13 @@ def revenue_by_nation(sf_dir: str, small_dim: int | None = None):
     cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     if cust_ds.count() <= gate:         # parquet-metadata count
         import ray
-        cdf = cust_ds.to_pandas().sort_values("c_custkey")
-        ckey = cdf["c_custkey"].to_numpy().astype(np.int64)
-        cnat = cdf["c_nationkey"].to_numpy().astype(np.int64)
+        cdf = cust_ds.to_pandas()
+        if cdf.empty:       # empty read loses columns entirely
+            ckey = cnat = np.empty(0, np.int64)
+        else:
+            cdf = cdf.sort_values("c_custkey")
+            ckey = cdf["c_custkey"].to_numpy().astype(np.int64)
+            cnat = cdf["c_nationkey"].to_numpy().astype(np.int64)
         lut_ref = ray.put((ckey, cnat))
 
         def partial(batch: pa.Table) -> pa.Table:
@@ -232,6 +236,10 @@ def revenue_by_nation(sf_dir: str, small_dim: int | None = None):
                  .aggregate([("o_totalprice", "sum")])
                  .rename_columns(["key", "p_rev"]))
             ck, cn = ray.get(lut_ref)   # zero-copy plasma views
+            if len(ck) == 0:            # empty dim side: inner join
+                return pa.table({       # yields no rows, not IndexError
+                    "n_nationkey": pa.array([], pa.int64()),
+                    "p_rev": pa.array([], pa.float64())})
             k = t.column("key").to_numpy().astype(np.int64)
             pos = np.searchsorted(ck, k)
             pos[pos == len(ck)] = 0

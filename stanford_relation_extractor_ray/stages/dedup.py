@@ -854,7 +854,10 @@ def scrub_repeats(ds, *, text_col: str = "text",
     import ray
 
     from ..runtime import pool_size
-    for rounds in range(max_rounds):
+    # max_rounds + 1 detections: the LAST scrub still needs its own
+    # verification pass, else a corpus that converges exactly at
+    # max_rounds would be mis-reported as non-convergent
+    for rounds in range(max_rounds + 1):
         flagged = substring_spans(ds, text_col=text_col,
                                   id_col=id_col, n=n,
                                   min_docs=min_docs)
@@ -862,6 +865,8 @@ def scrub_repeats(ds, *, text_col: str = "text",
                  flagged.select_columns(["gram"]).take_all()}
         if not grams:
             return ds, rounds
+        if rounds == max_rounds:
+            break
         ref = ray.put(grams)
         ds = ds.map_batches(
             SpanScrubber,

@@ -82,10 +82,18 @@ def parse_mln_rules(text: str) -> list[Rule]:
         line = line.strip()
         if not line or line.startswith("//"):
             continue
-        m = re.match(r"^(-?\d+(?:\.\d+)?)\s+(.*)$", line)
-        if not m:
+        # weight = any float form (plain, leading/trailing dot,
+        # scientific); a non-numeric first token marks a predicate
+        # declaration line. A numeric weight followed by an unparsable
+        # clause must ERROR, never silently drop the rule.
+        head = line.split(None, 1)
+        try:
+            weight = float(head[0])
+        except ValueError:
             continue                       # predicate declaration etc.
-        weight, clause = float(m.group(1)), m.group(2)
+        if len(head) < 2:
+            raise ValueError(f"weight without clause: {line!r}")
+        clause = head[1]
         ants, cons = [], []
         for neg, pred, a, b in _LIT_RE.findall(clause):
             (ants if neg else cons).append((pred, a, b))
@@ -118,8 +126,19 @@ def make_acyclic(rules: list[Rule], *,
         if any(cons in anc(a[0]) for a in rule.antecedents):
             continue                        # would close a loop
         kept.append(rule)
+        # transitive-closure update: the reference only folds the
+        # antecedents' ancestors into the consequent's set
+        # (BayesianLogicNetwork.java:66-69), which leaves STALE sets
+        # for predicates already downstream of the consequent and
+        # admits 3-cycles like b⇒c, a⇒b, c⇒a. Propagate into every
+        # set that contains the consequent so acyclicity actually
+        # holds (pinned in tests/test_mln.py).
+        new_anc = set()
         for a in rule.antecedents:
-            anc(cons).update(anc(a[0]))
+            new_anc |= anc(a[0])
+        for p in list(ancestors) + [cons]:
+            if cons in anc(p):
+                anc(p).update(new_anc)
     return kept
 
 
@@ -161,9 +180,10 @@ def ground_network(edges: list[dict], rules: list[Rule], *,
 
     Evidence literals are fixed true (the reference's closed-world
     +∞ prior); with ``soft_evidence`` they instead get the rescaled
-    prior (1+score)/2 as a single-literal factor
-    (``ProbabilisticGraphInferenceEngine.graphToMLN`` soft-priors
-    hack). ``meta`` carries entity types and per-literal best
+    prior 0.5 + 0.4·score as a single-literal factor
+    (``ProbabilisticGraphInferenceEngine.graphToMLN``'s SOFT_PRIORS
+    rescale — ties break toward the classifier score while the prior
+    stays in [0.5, 0.9]). ``meta`` carries entity types and per-literal best
     provenance for emitting fills."""
     lit_index: dict[tuple, int] = {}
     literals: list[tuple] = []
@@ -194,6 +214,10 @@ def ground_network(edges: list[dict], rules: list[Rule], *,
                 lit,
                 prior=(0.5 + 0.4 * s) if soft_evidence else 1.0,
                 fix=not soft_evidence, start=True)
+            # a later duplicate edge with a higher score must refresh
+            # the soft prior too — add_literal early-returns for known
+            # literals, leaving the stale value otherwise
+            priors[i] = (0.5 + 0.4 * s) if soft_evidence else 1.0
             prov[i] = (e.get("doc_id", ""), int(e.get("sent_idx", 0)),
                        list(e.get("subj_span") or []),
                        list(e.get("obj_span") or []))
@@ -431,20 +455,26 @@ def probabilistic_infer(fills, query_entities, rules: list[Rule], *,
     for _ in range(max_dist):
         if not frontier:
             break
-        ref = ray.put(frontier)
+        # ship (frontier, full membership map) so the map emits ONLY
+        # genuinely new (node, query) memberships, deduped per batch —
+        # the driver collect is bounded by the neighborhood-map DELTA,
+        # never O(edge incidences) (code-review r5 finding)
+        ref = ray.put((frontier, node_queries))
 
         def expand(batch: pa.Table, _ref=ref) -> pa.Table:
-            fr = ray.get(_ref)
+            fr, known = ray.get(_ref)
             subj = batch.column("subj").to_pylist()
             obj = batch.column("obj").to_pylist()
-            nodes, qs = [], []
+            out: set[tuple] = set()
             for s, o in zip(subj, obj):
                 for a, b in ((s, o), (o, s)):
                     for q in fr.get(a, ()):
-                        nodes.append(b)
-                        qs.append(q)
-            return pa.table({"node": pa.array(nodes, pa.string()),
-                             "q": pa.array(qs, pa.string())})
+                        if q not in known.get(b, ()):
+                            out.add((b, q))
+            rows = sorted(out)
+            return pa.table({
+                "node": pa.array([r[0] for r in rows], pa.string()),
+                "q": pa.array([r[1] for r in rows], pa.string())})
 
         new: dict[str, set] = {}
         for r in (fills.map_batches(expand, batch_format="pyarrow")

@@ -176,3 +176,22 @@ def test_scrub_repeats_already_clean(ray_session):
     assert rounds == 0
     assert {r["text"] for r in out.take_all()} == \
         {d["text"] for d in docs}
+
+
+def test_scrub_repeats_converges_at_exact_max_rounds(ray_session):
+    """A corpus clean after exactly max_rounds scrubs must return
+    success, not a spurious non-convergence error (the final scrub
+    gets its own verification pass; code-review r5)."""
+    from stanford_relation_extractor_ray.stages.dedup import \
+        scrub_repeats
+
+    docs = [
+        {"doc_id": 1, "text": "m n a b c o p"},
+        {"doc_id": 2, "text": "q r a b c s t"},
+        {"doc_id": 3, "text": "m n o p x1 x2"},
+    ]
+    out, rounds = scrub_repeats(rd.from_items(docs), n=3, min_docs=2,
+                                max_rounds=2)
+    assert rounds == 2
+    assert {r["doc_id"]: r["text"] for r in out.take_all()}[2] \
+        == "q r s t"

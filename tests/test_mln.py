@@ -188,3 +188,28 @@ def test_probabilistic_infer_empty_inputs(ray_session):
     assert probabilistic_infer(rd.from_items(rows), ["zz"],
                                [GRANDPARENT], max_dist=1,
                                n_iters=50).count() == 0
+
+
+def test_make_acyclic_transitive_closure():
+    """3-cycle through stale ancestor sets must be rejected: after
+    accepting b⇒c and a⇒b, the rule c⇒a closes a→b→c→a and the
+    transitive-closure update must catch it (code-review r5)."""
+    b_to_c = Rule(1.0, (("b", "x", "y"),), ("c", "x", "y"))
+    a_to_b = Rule(2.0, (("a", "x", "y"),), ("b", "x", "y"))
+    c_to_a = Rule(3.0, (("c", "x", "y"),), ("a", "x", "y"))
+    kept = make_acyclic([b_to_c, a_to_b, c_to_a])
+    assert kept == [b_to_c, a_to_b]
+
+
+def test_parse_mln_rules_float_forms_and_errors():
+    """Scientific/leading-dot weights parse; a numeric weight with a
+    garbage clause raises instead of silently dropping the rule."""
+    rules = parse_mln_rules("""
+        1.5e-1  !p(x,y) v q(x,y)
+        .5      !p(x,y) v r(x,y)
+    """)
+    assert [r.weight for r in rules] == [0.15, 0.5]
+    with pytest.raises(ValueError):
+        parse_mln_rules("2.0 not a clause at all")
+    with pytest.raises(ValueError):
+        parse_mln_rules("2.0")

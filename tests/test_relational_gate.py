@@ -46,3 +46,25 @@ def test_revenue_by_nation_gate_equality(ray_session):
     large["revenue"] = large["revenue"].round(2)
     pd.testing.assert_frame_equal(_sorted(small), _sorted(large))
     assert len(small) > 0
+
+
+def test_revenue_broadcast_tier_empty_customer(ray_session, tmp_path):
+    """Empty customer table through the broadcast tier: inner-join
+    semantics (zero rows), not an IndexError on the empty lookup."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stanford_relation_extractor_ray.pipelines.relational import \
+        revenue_by_nation
+
+    d = tmp_path / "sf_empty"
+    d.mkdir()
+    for t in ("orders", "nation"):
+        shutil.copy(f"{SF}/{t}.parquet", d / f"{t}.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([], pa.int64()),
+        "c_nationkey": pa.array([], pa.int64())}),
+        d / "customer.parquet")
+    assert revenue_by_nation(str(d), small_dim=10**9).count() == 0
