@@ -421,17 +421,42 @@ def apply_canonical(fills, cmap_ref):
     return fills.map_batches(rewrite, batch_format="pyarrow")
 
 
+def _entity_id_column(names, types, *, gate=None) -> pa.Array:
+    """Vectorized ``_entity_id`` over a column pair: crc32 once per
+    DISTINCT (name, type) via dictionary encoding, gathered back per
+    row — the edges table is the KG's widest output, so the id hash
+    must not run per row. ``gate`` (optional bool ndarray) blanks ids
+    where False (non-entity objects)."""
+    import pyarrow.compute as pc
+    key = pc.binary_join_element_wise(names, types, "|")
+    if isinstance(key, pa.ChunkedArray):
+        key = key.combine_chunks()
+    enc = key.dictionary_encode()
+    dvals = [f"e{zlib.crc32(s.encode()):08x}"
+             for s in enc.dictionary.to_pylist()]
+    import numpy as np
+    ids = np.asarray(dvals, dtype=object)[
+        enc.indices.to_numpy(zero_copy_only=False)]
+    if gate is not None:
+        ids = np.where(gate, ids, "")
+    return pa.array(ids, pa.string())
+
+
 def _to_edges(batch: pa.Table) -> pa.Table:
-    cols = {n: batch.column(n).to_pylist() for n in batch.column_names}
-    n = batch.num_rows
+    import numpy as np
+    import pyarrow.compute as pc
+    obj_is_entity = pc.is_in(
+        batch.column("obj_type"),
+        value_set=pa.array(list(ENTITY_TYPES))) \
+        .to_numpy(zero_copy_only=False)
     return pa.Table.from_arrays(
-        [pa.array([_entity_id(cols["subj"][i], cols["subj_type"][i])
-                   for i in range(n)], pa.string()),
+        [_entity_id_column(batch.column("subj"),
+                           batch.column("subj_type")),
          batch.column("subj"), batch.column("subj_type"),
          batch.column("pred"),
-         pa.array([_entity_id(cols["obj"][i], cols["obj_type"][i])
-                   if cols["obj_type"][i] in ENTITY_TYPES else ""
-                   for i in range(n)], pa.string()),
+         _entity_id_column(batch.column("obj"),
+                           batch.column("obj_type"),
+                           gate=obj_is_entity),
          batch.column("obj"), batch.column("obj_type"),
          batch.column("score"),
          batch.column("doc_id"), batch.column("sent_idx")],
