@@ -52,6 +52,27 @@ def _pronoun(entity) -> str:
         else "He"
 
 
+#: per-(n_ent, rotation) cumulative anchor weights. The Zipf-ish weight
+#: vector ``1/(1+((doc_id*31+i) % n_ent))`` depends on doc_id only via
+#: ``r = doc_id*31 % n_ent`` — n_ent distinct rotations total — so the
+#: O(n_ent) list build + accumulate per document collapses to a dict
+#: hit. itertools.accumulate matches random.choices' internal cum-weight
+#: construction bit-for-bit, and choices(cum_weights=...) consumes the
+#: same single rng.random() draw, so document plans are byte-identical.
+_CUM_W: dict[tuple[int, int], list[float]] = {}
+
+
+def _anchor_cum_weights(doc_id: int, n_ent: int) -> list[float]:
+    r = (doc_id * 31) % n_ent
+    cw = _CUM_W.get((n_ent, r))
+    if cw is None:
+        from itertools import accumulate
+        cw = list(accumulate(
+            1.0 / (1 + ((r + i) % n_ent)) for i in range(n_ent)))
+        _CUM_W[(n_ent, r)] = cw
+    return cw
+
+
 def doc_plan(doc_id: int, world: World):
     """The full deterministic plan for one document.
 
@@ -62,8 +83,9 @@ def doc_plan(doc_id: int, world: World):
     rng = random.Random((world.seed << 32) ^ (doc_id * 2654435761 % (1 << 61)))
     n_ent = len(world.entities)
     # Zipf-ish anchor choice → hot entities exist by construction
-    weights = [1.0 / (1 + ((doc_id * 31 + i) % n_ent)) for i in range(n_ent)]
-    anchor = rng.choices(world.entities, weights=weights, k=1)[0]
+    anchor = rng.choices(world.entities,
+                         cum_weights=_anchor_cum_weights(doc_id, n_ent),
+                         k=1)[0]
 
     n_sent = rng.randint(2, 6)
     sentences: list[str] = []       # realized text spans
