@@ -323,6 +323,21 @@ def classify(bags, *, model_ref=None, concurrency=None,
         concurrency=concurrency)
 
 
+_MISS = object()   # resolve_relation memo sentinel (None is a valid hit)
+
+
+def _span_pairs(begin: np.ndarray, end: np.ndarray) -> pa.ListArray:
+    """[b,e] int32 list column from parallel begin/end arrays —
+    interleaved values buffer + stride-2 offsets, no per-row lists."""
+    n = len(begin)
+    vals = np.empty(2 * n, np.int32)
+    vals[0::2] = begin
+    vals[1::2] = end
+    offsets = np.arange(0, 2 * n + 2, 2, dtype=np.int32)
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                    pa.array(vals, pa.int32()))
+
+
 class CandidateScorer:
     """Fast-path actor-pool scorer: featurized candidate rows → per-batch
     PARTIAL fills (one row per triple per batch).
@@ -339,6 +354,7 @@ class CandidateScorer:
     """
 
     def __init__(self, model_ref=None):
+        self._resolve_memo: dict = {}
         self.lr: LRModel | None = None
         if model_ref is not None:
             import ray
@@ -369,8 +385,15 @@ class CandidateScorer:
         rels: list[str] = []
         scores: list[float] = []
         so = sb <= ob                  # pattern fires on SO order only
+        # template corpora repeat (phrase, types) keys near-100%: a
+        # flat memo turns resolve_relation's inner loop into one dict
+        # hit per candidate
+        memo = self._resolve_memo
         for i in np.flatnonzero(so):
-            rel = resolve_relation(between[i], subj_t[i], obj_t[i])
+            key = (between[i], subj_t[i], obj_t[i])
+            rel = memo.get(key, _MISS)
+            if rel is _MISS:
+                rel = memo[key] = resolve_relation(*key)
             if rel is not None:
                 idx.append(i)
                 rels.append(rel)
@@ -393,18 +416,15 @@ class CandidateScorer:
                     scores.append(float(pmax[i]) * LR_WEIGHT)
 
         take = pa.array(idx, pa.int64())
-        se = batch.column("subj_end").take(take)
-        oe = batch.column("obj_end").take(take)
-        sb_t = batch.column("subj_begin").take(take)
-        ob_t = batch.column("obj_begin").take(take)
-        spans_s = pa.array(
-            [[int(a), int(b)] for a, b in
-             zip(sb_t.to_pylist(), se.to_pylist())],
-            pa.list_(pa.int32()))
-        spans_o = pa.array(
-            [[int(a), int(b)] for a, b in
-             zip(ob_t.to_pylist(), oe.to_pylist())],
-            pa.list_(pa.int32()))
+        # span pairs as one interleaved values buffer + stride-2
+        # offsets — no per-row Python list construction
+        idx_np = np.asarray(idx, dtype=np.int64)
+        se = batch.column("subj_end").to_numpy()[idx_np] \
+            if len(idx_np) else np.empty(0, np.int64)
+        oe = batch.column("obj_end").to_numpy()[idx_np] \
+            if len(idx_np) else np.empty(0, np.int64)
+        spans_s = _span_pairs(sb[idx_np], se)
+        spans_o = _span_pairs(ob[idx_np], oe)
         score_arr = pa.array(scores, pa.float64())
         t = pa.Table.from_arrays(
             [batch.column("subj").take(take),
