@@ -34,6 +34,7 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..schemas import FILLS_SCHEMA
 from ..vocab import RELATIONS, resolve_relation
@@ -375,31 +376,41 @@ class CandidateScorer:
         shuffle 9× at 2M docs)."""
         from ..vocab import resolve_relation
 
-        subj_t = batch.column("subj_type").to_pylist()
-        obj_t = batch.column("obj_type").to_pylist()
         sb = batch.column("subj_begin").to_numpy()
         ob = batch.column("obj_begin").to_numpy()
-        between = batch.column("between").to_pylist()
 
-        idx: list[int] = []
-        rels: list[str] = []
-        scores: list[float] = []
-        so = sb <= ob                  # pattern fires on SO order only
-        # template corpora repeat (phrase, types) keys near-100%: a
-        # flat memo turns resolve_relation's inner loop into one dict
-        # hit per candidate
+        # template corpora repeat (phrase, types) keys near-100%:
+        # dictionary-encode the joined key once per batch, call
+        # resolve_relation only per DISTINCT key (memoized across
+        # batches on this actor), and map the verdicts back with one
+        # numpy gather — no per-candidate Python at all
+        key = pc.binary_join_element_wise(
+            pc.coalesce(batch.column("between"), ""),
+            batch.column("subj_type"), batch.column("obj_type"),
+            "\x1f").combine_chunks().dictionary_encode()
+        kidx = key.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
         memo = self._resolve_memo
-        for i in np.flatnonzero(so):
-            key = (between[i], subj_t[i], obj_t[i])
-            rel = memo.get(key, _MISS)
+        uniq_rels: list = []
+        for u in key.dictionary.to_pylist():
+            rel = memo.get(u, _MISS)
             if rel is _MISS:
-                rel = memo[key] = resolve_relation(*key)
-            if rel is not None:
-                idx.append(i)
-                rels.append(rel)
-                scores.append(PATTERN_SENT_SCORE)
+                # types carry no \x1f, so rsplit is exact even if the
+                # between-phrase itself contains the separator
+                rel = memo[u] = resolve_relation(*u.rsplit("\x1f", 2))
+            uniq_rels.append(rel)
+        uniq_rel_arr = np.array(uniq_rels, dtype=object)
+        has_rel = np.array([r is not None for r in uniq_rels], bool)
+        so = sb <= ob                  # pattern fires on SO order only
+        pat_idx = np.flatnonzero(so & has_rel[kidx]) \
+            if len(kidx) else np.empty(0, np.int64)
+
+        idx: list[int] = pat_idx.tolist()
+        rels: list[str] = uniq_rel_arr[kidx[pat_idx]].tolist()
+        scores: list[float] = [PATTERN_SENT_SCORE] * len(idx)
 
         if self.lr is not None:
+            obj_t = batch.column("obj_type").to_pylist()
             feats = batch.column("features").to_pylist()
             probs = self.lr.predict_proba(feats)
             z = probs.argmax(axis=1)
