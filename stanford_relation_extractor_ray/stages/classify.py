@@ -452,12 +452,7 @@ class CandidateScorer:
         t = t.append_column("prov_score", score_arr)
         if t.num_rows <= 1:
             return t
-        cols = list(FILLS_SCHEMA.names) + ["prov_score"]
-        merged = merge_fills_df(t.to_pandas(), cols)
-        return pa.Table.from_arrays(
-            [pa.array(merged[nm].tolist(), ty) for nm, ty in
-             zip(cols, list(FILLS_SCHEMA.types) + [pa.float64()])],
-            names=cols)
+        return merge_fills_table(t)
 
 
 def score_candidates(featurized, *, model_ref=None, concurrency=None,
@@ -558,6 +553,53 @@ def combine_fills(fills):
             .groupby("pid")
             .map_groups(merge_partition, batch_format="pandas")
             .select_columns(FILLS_SCHEMA.names))
+
+
+def _rank_codes(col) -> np.ndarray:
+    """Integer codes for a string column that sort identically to the
+    strings: dictionary-encode (C++), order the (small) dictionary, and
+    gather each row's rank."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    d = col.dictionary_encode()
+    order = pc.array_sort_indices(d.dictionary) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    rank = np.empty(len(order), np.int64)
+    rank[order] = np.arange(len(order), dtype=np.int64)
+    return rank[d.indices.to_numpy(zero_copy_only=False)
+                .astype(np.int64)]
+
+
+def merge_fills_table(t: pa.Table) -> pa.Table:
+    """``merge_fills_df`` for an Arrow fills(+prov_score) table with no
+    pandas round-trip: dictionary-rank lexsort + ``multiply.reduceat``
+    noisy-or. Bit-identical to the pandas kernel — same stable sort
+    keys (triple asc, prov_score desc, doc_id/sent_idx asc) and the
+    same sequential per-group product order (numpy's multiply.reduce
+    is sequential for float64, pinned in tests/test_pipeline_e2e.py).
+    The per-column rank codes keep tuple-wise string ordering exact —
+    no joined-key separator assumption."""
+    score = t.column("score").to_numpy()
+    ps = (t.column("prov_score").to_numpy()
+          if "prov_score" in t.column_names else score)
+    keys = [_rank_codes(t.column(nm)) for nm in TRIPLE_KEY]
+    sent = t.column("sent_idx").to_numpy()
+    order = np.lexsort((sent, _rank_codes(t.column("doc_id")), -ps,
+                        keys[4], keys[3], keys[2], keys[1], keys[0]))
+    ks = [k[order] for k in keys]
+    change = np.zeros(len(order), bool)
+    change[0] = True
+    for k in ks:
+        change[1:] |= k[1:] != k[:-1]
+    starts = np.flatnonzero(change)
+    prods = np.multiply.reduceat(1.0 - score[order], starts)
+    first_idx = order[starts]
+    take = pa.array(first_idx, pa.int64())
+    out = t.select(FILLS_SCHEMA.names).take(take)
+    out = out.set_column(out.column_names.index("score"), "score",
+                         pa.array(1.0 - prods, pa.float64()))
+    return out.append_column("prov_score",
+                             pa.array(ps[first_idx], pa.float64()))
 
 
 def merge_fills_df(df, keep_cols: list):

@@ -116,3 +116,45 @@ def test_postprocess_gate_paths_equal(ray_session, monkeypatch):
     monkeypatch.setattr(kg, "SMALL_FILLS", 0)   # force distributed
     dist = run()
     assert fast == dist and len(fast) > 50
+
+
+def test_merge_fills_table_equals_pandas_kernel():
+    """merge_fills_table (Arrow/numpy) is bit-identical to
+    merge_fills_df (pandas) — including a hot triple whose group is
+    large enough (>>128 rows) to expose any non-sequential product
+    order, score ties, and single-provenance triples."""
+    import numpy as np
+    import pyarrow as pa
+    from stanford_relation_extractor_ray.schemas import FILLS_SCHEMA
+    from stanford_relation_extractor_ray.stages.classify import (
+        merge_fills_df, merge_fills_table)
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    # ~300 distinct triples plus one hot triple taking ~400 rows
+    tri = rng.integers(0, 300, n)
+    tri[rng.random(n) < 0.2] = 7
+    subj = [f"ent {t % 40}" for t in tri]
+    pred = [f"rel:{t % 11}" for t in tri]
+    obj = [f"val {t}" for t in tri]
+    score = rng.uniform(0.05, 0.95, n)
+    score[rng.random(n) < 0.3] = 0.5           # provenance-score ties
+    t = pa.Table.from_arrays(
+        [pa.array(subj), pa.array(["PERSON"] * n), pa.array(pred),
+         pa.array(obj), pa.array(["TITLE"] * n),
+         pa.array(score, pa.float64()),
+         pa.array([f"doc{int(i)}" for i in rng.integers(0, 50, n)]),
+         pa.array(rng.integers(0, 9, n), pa.int32()),
+         pa.array([[0, 1]] * n, pa.list_(pa.int32())),
+         pa.array([[2, 3]] * n, pa.list_(pa.int32()))],
+        schema=FILLS_SCHEMA).append_column(
+            "prov_score", pa.array(score * 0.9, pa.float64()))
+
+    cols = list(FILLS_SCHEMA.names) + ["prov_score"]
+    want = merge_fills_df(t.to_pandas(), cols)
+    got = merge_fills_table(t)
+    want_t = pa.Table.from_arrays(
+        [pa.array(want[nm].tolist(), ty) for nm, ty in
+         zip(cols, list(FILLS_SCHEMA.types) + [pa.float64()])],
+        names=cols)
+    assert got.equals(want_t)
