@@ -48,3 +48,42 @@ def test_gold_triples_nonempty_and_stable():
     g1 = gold_triple_set(100)
     g2 = gold_triple_set(100)
     assert g1 == g2 and len(g1) > 50
+
+
+def test_docs_batch_columnar_equals_dict_path():
+    """The columnar span fast path (_docs_batch via doc_plan out_cols)
+    is byte-identical to the public dict-returning doc_plan — same rng
+    stream (inlined choice/randint/sample draws), same span fields."""
+    import numpy as np
+    import pyarrow as pa
+    from stanford_relation_extractor_ray.corpus import (
+        DOCUMENTS_SCHEMA, SPAN_STRUCT, _docs_batch, doc_plan)
+    from stanford_relation_extractor_ray.world import get_world
+
+    w = get_world(123)
+    n = 1500
+    got = _docs_batch({"id": np.arange(n, dtype=np.int64)}, 123)
+    doc_ids, span_lists = [], []
+    for did in range(n):
+        spans, gold = doc_plan(did, w)          # dict path, with gold
+        doc_ids.append(f"d{did:09d}")
+        span_lists.append(spans)
+    want = pa.Table.from_arrays(
+        [pa.array(doc_ids, pa.string()),
+         pa.array(span_lists, pa.list_(SPAN_STRUCT))],
+        schema=DOCUMENTS_SCHEMA)
+    assert got.equals(want)
+
+
+def test_doc_plan_gold_invariant_to_fast_flags():
+    """with_gold=False changes nothing about the span stream, and the
+    has-date-of-death flag reproduces the gold-scan control flow."""
+    from stanford_relation_extractor_ray.corpus import doc_plan
+    from stanford_relation_extractor_ray.world import get_world
+
+    w = get_world(42)
+    for did in range(400):
+        spans_full, gold = doc_plan(did, w)
+        spans_fast, none = doc_plan(did, w, with_gold=False)
+        assert spans_full == spans_fast
+        assert none is None and isinstance(gold, list)
