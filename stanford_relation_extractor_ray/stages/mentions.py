@@ -271,36 +271,79 @@ def pair_candidates_fused(annotator, batch: pa.Table,
              if with_ctx else [])
             for gap, em, sm, subj_surface, between in best.values()]
 
-    cols: dict[str, list] = {n: [] for n in CANDIDATES_SCHEMA.names}
+    # Row POOL + occurrence expansion: candidate rows are appended to
+    # flat pool columns once per DISTINCT sentence text (~3% of
+    # occurrences on the bench corpus; dynamic pronoun sentences get
+    # one-off pool entries), and each occurrence records only its pool
+    # slot + (doc_id, sent_idx). The output columns are then one Arrow
+    # C++ gather per field over numpy-built indices — the previous
+    # 12-appends-per-candidate Python loop ran per OCCURRENCE row.
+    # Occurrence order and within-sentence row order are preserved, so
+    # the table is identical row-for-row.
+    import numpy as np
+
+    pool: list = [[] for _ in range(10)]     # flat rows, pool-major
+    pool_starts: list[int] = [0]             # per-entry start offsets
+    key_slot: dict[str, int] = {}            # text → pool entry
+    occ_slot: list[int] = []
+    occ_doc: list[str] = []
+    occ_sent: list[int] = []
+
+    def add_pool(rows) -> int:
+        for r in rows:
+            for j in range(10):
+                pool[j].append(r[j])
+        pool_starts.append(pool_starts[-1] + len(rows))
+        return len(pool_starts) - 2
+
     for doc_id, sent_idx, tokens, mentions, text in \
             annotator.iter_sentences(batch):
         if len(mentions) < 2:
             continue
         if any(m[4] for m in mentions):       # resolved pronoun: dynamic
             rows = compute_rows(tokens, mentions)
+            if not rows:
+                continue
+            slot = add_pool(rows)
         else:
-            rows = memo.get(text)
-            if rows is None:
-                if len(memo) >= 500_000:
-                    memo.clear()
-                rows = memo[text] = compute_rows(tokens, mentions)
-        for (subj_surface, s_t, obj, o_t, sb, se, ob, oe, between,
-             ctx) in rows:
-            cols["subj"].append(subj_surface)
-            cols["subj_type"].append(s_t)
-            cols["obj"].append(obj)
-            cols["obj_type"].append(o_t)
-            cols["doc_id"].append(doc_id)
-            cols["sent_idx"].append(sent_idx)
-            cols["subj_begin"].append(sb)
-            cols["subj_end"].append(se)
-            cols["obj_begin"].append(ob)
-            cols["obj_end"].append(oe)
-            cols["between"].append(between)
-            cols["ctx_features"].append(ctx)
+            slot = key_slot.get(text)
+            if slot is None:
+                rows = memo.get(text)
+                if rows is None:
+                    if len(memo) >= 500_000:
+                        memo.clear()
+                    rows = memo[text] = compute_rows(tokens, mentions)
+                slot = key_slot[text] = add_pool(rows)
+        occ_slot.append(slot)
+        occ_doc.append(doc_id)
+        occ_sent.append(sent_idx)
+
+    starts_np = np.asarray(pool_starts, np.int64)
+    slots = np.asarray(occ_slot, np.int64) if occ_slot \
+        else np.empty(0, np.int64)
+    counts = starts_np[slots + 1] - starts_np[slots]
+    total = int(counts.sum())
+    occ_of_row = np.repeat(np.arange(len(slots)), counts)
+    win_starts = np.concatenate(([0], np.cumsum(counts)[:-1])) \
+        if len(counts) else np.empty(0, np.int64)
+    within = np.arange(total) - np.repeat(win_starts, counts)
+    idx = pa.array(np.repeat(starts_np[slots], counts) + within,
+                   pa.int64())
+    occ_idx = pa.array(occ_of_row, pa.int64())
+
+    gathered = {
+        nm: pa.array(pool[j], ty).take(idx)
+        for j, (nm, ty) in enumerate(zip(
+            ["subj", "subj_type", "obj", "obj_type",
+             "subj_begin", "subj_end", "obj_begin", "obj_end",
+             "between", "ctx_features"],
+            [pa.string(), pa.string(), pa.string(), pa.string(),
+             pa.int32(), pa.int32(), pa.int32(), pa.int32(),
+             pa.string(), pa.list_(pa.string())]))}
+    gathered["doc_id"] = pa.array(occ_doc, pa.string()).take(occ_idx)
+    gathered["sent_idx"] = pa.array(occ_sent, pa.int32()).take(occ_idx)
     return pa.Table.from_arrays(
-        [pa.array(cols[n], t) for n, t in
-         zip(CANDIDATES_SCHEMA.names, CANDIDATES_SCHEMA.types)],
+        [gathered[n] for n in CANDIDATES_SCHEMA.names],
         schema=CANDIDATES_SCHEMA)
 
 

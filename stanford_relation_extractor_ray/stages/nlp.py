@@ -180,14 +180,25 @@ class NLPAnnotator:
         return first, last, acro
 
     def scan_text(self, text: str) -> tuple:
-        """Memoized (tokens, scan events, has_short_ref) for one
-        sentence text."""
+        """Memoized (tokens, scan events, has_short_ref, static) for
+        one sentence text. ``static`` is the pre-replayed
+        (mentions, last_seen_updates) pair for sentences whose events
+        are ALL "M" — their replay is independent of document coref
+        state except for the last-seen updates they emit, so it is
+        computed once per distinct text instead of per occurrence
+        (``None`` for sentences with P/U events, which replay
+        dynamically)."""
         hit = self._scan_memo.get(text)
         if hit is None:
             tokens = text.split(" ") if text else []
             events = self._scan(tokens)
-            hit = (tokens, events,
-                   any(ev[0] == "U" for ev in events))
+            has_u = any(ev[0] == "U" for ev in events)
+            static = None
+            if not has_u and all(ev[0] == "M" for ev in events):
+                updates: dict[str, str] = {}
+                out = self.replay(events, updates)
+                static = (out, updates)
+            hit = (tokens, events, has_u, static)
             if len(self._scan_memo) >= self._MEMO_CAP:
                 self._scan_memo.clear()
             self._scan_memo[text] = hit
@@ -279,9 +290,18 @@ class NLPAnnotator:
             last_seen: dict[str, str] = {}
             sent_idx = 0
             for k in text_ks:
-                tokens, events, has_u = self.scan_text(texts[k])
+                tokens, events, has_u, static = self.scan_text(texts[k])
                 if cap is not None and len(tokens) > cap:
                     sent_idx += 1    # gate long sentences, keep indices
+                    continue
+                if static is not None:
+                    # M-only sentence: pre-replayed once per distinct
+                    # text; only its last-seen updates touch doc state
+                    out, upd = static
+                    if upd:
+                        last_seen.update(upd)
+                    yield doc_id, sent_idx, tokens, out, texts[k]
+                    sent_idx += 1
                     continue
                 if has_u and not stats_built:
                     stats = self.doc_stats(
