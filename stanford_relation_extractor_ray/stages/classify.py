@@ -579,6 +579,8 @@ def merge_fills_table(t: pa.Table) -> pa.Table:
     is sequential for float64, pinned in tests/test_pipeline_e2e.py).
     The per-column rank codes keep tuple-wise string ordering exact —
     no joined-key separator assumption."""
+    if t.num_rows == 0:
+        return t
     score = t.column("score").to_numpy()
     ps = (t.column("prov_score").to_numpy()
           if "prov_score" in t.column_names else score)

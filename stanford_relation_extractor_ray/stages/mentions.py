@@ -331,15 +331,13 @@ def pair_candidates_fused(annotator, batch: pa.Table,
                    pa.int64())
     occ_idx = pa.array(occ_of_row, pa.int64())
 
+    pool_fields = ["subj", "subj_type", "obj", "obj_type",
+                   "subj_begin", "subj_end", "obj_begin", "obj_end",
+                   "between", "ctx_features"]   # row-tuple field order
     gathered = {
-        nm: pa.array(pool[j], ty).take(idx)
-        for j, (nm, ty) in enumerate(zip(
-            ["subj", "subj_type", "obj", "obj_type",
-             "subj_begin", "subj_end", "obj_begin", "obj_end",
-             "between", "ctx_features"],
-            [pa.string(), pa.string(), pa.string(), pa.string(),
-             pa.int32(), pa.int32(), pa.int32(), pa.int32(),
-             pa.string(), pa.list_(pa.string())]))}
+        nm: pa.array(pool[j],
+                     CANDIDATES_SCHEMA.field(nm).type).take(idx)
+        for j, nm in enumerate(pool_fields)}
     gathered["doc_id"] = pa.array(occ_doc, pa.string()).take(occ_idx)
     gathered["sent_idx"] = pa.array(occ_sent, pa.int32()).take(occ_idx)
     return pa.Table.from_arrays(

@@ -194,7 +194,7 @@ class NLPAnnotator:
             events = self._scan(tokens)
             has_u = any(ev[0] == "U" for ev in events)
             static = None
-            if not has_u and all(ev[0] == "M" for ev in events):
+            if all(ev[0] == "M" for ev in events):  # implies not has_u
                 updates: dict[str, str] = {}
                 out = self.replay(events, updates)
                 static = (out, updates)
