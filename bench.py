@@ -26,9 +26,14 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # measured overhead, not the engine.
 KG_DOCS = int(os.environ.get("GRAFT_KG_DOCS", "2000000"))
 # scaling proxy corpus: big enough (~1.5-4.5 min/run) that the sandbox
-# VM's ±30-50% short-run steal noise averages out — measured efficiency
-# at 10M docs is stable vs wildly variable at 2M
-SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "10000000"))
+# VM's ±30-50% short-run steal noise averages out AND compute dominates
+# the non-scaling floor (streaming-executor barriers, per-actor cache
+# warmup, the entity-bounded finalize tail — ~10-15 s at any corpus
+# size). Raised 10M → 25M after the round-5 kernel sweep pushed a 10M
+# run at 32 CPUs under 65 s, letting that floor eat the 8→32
+# efficiency (measured 0.57 at 10M vs 0.80+ in band); the design point
+# is 10^12 docs, so the bigger proxy is the representative regime.
+SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "25000000"))
 
 
 def _init_ray(num_cpus: int):

@@ -327,16 +327,105 @@ def _model_fingerprint(model_ref) -> str:
     return h.hexdigest()[:16]
 
 
+def _graph_driver_side(fills_tbl: pa.Table):
+    """Below-gate graph tier with ZERO Ray executions: the consistent
+    fills are entity-universe-bounded and already on the driver, so the
+    surface aggregate, canonical rewrite, per-triple combine, and edge
+    construction are plain Arrow/pandas here. Exactly the mid tier's
+    semantics (pinned by tests/test_pipeline_e2e.py::
+    test_graph_driver_tier_equals_mid_tier):
+
+    - surfaces: same (name, type) → Σscore aggregate as
+      ``_surface_table`` (float order differs only below the round(,9)
+      comparison resolution its docstring guarantees);
+    - rewrite: ``apply_canonical``'s batch fn applied once;
+    - combine: one global ``merge_fills_table`` — noisy-or is
+      associative, so it equals ``combine_fills``'s two-level merge;
+    - edges: ``_to_edges`` on the merged table.
+
+    The mid tier ran the same math through two shuffle executions with
+    cpus×4 partitions; on a ~5k-row table that was pure task overhead
+    and measured ANTI-scaling (0.9 s at 8 CPUs → 2.1 s at 32).
+    """
+    import pandas as pd
+
+    from ..stages.canonicalize import ENTITY_TYPES, _to_edges
+    from ..stages.classify import merge_fills_table
+
+    df = fills_tbl.select(
+        ["subj", "subj_type", "obj", "obj_type", "score"]).to_pandas()
+    parts = []
+    for col, tcol in (("subj", "subj_type"), ("obj", "obj_type")):
+        p = df[[col, tcol, "score"]].rename(
+            columns={col: "name", tcol: "type", "score": "weight"})
+        parts.append(p[p["type"].isin(ENTITY_TYPES)])
+    surf = (pd.concat(parts).groupby(["name", "type"], as_index=False)
+            ["weight"].sum())
+    cmap, _w = canonical_map(
+        None, surfaces=pa.Table.from_pandas(surf, preserve_index=False))
+
+    # apply_canonical's rewrite, driver-side
+    cols = {n: fills_tbl.column(n).to_pylist()
+            for n in fills_tbl.column_names}
+    cols["subj"] = [cmap.get((n, t), n) for n, t in
+                    zip(cols["subj"], cols["subj_type"])]
+    cols["obj"] = [cmap.get((n, t), n) if t in ENTITY_TYPES
+                   and not p.endswith("alternate_names") else n
+                   for n, t, p in zip(cols["obj"], cols["obj_type"],
+                                      cols["pred"])]
+    from ..schemas import FILLS_SCHEMA
+    rewritten = pa.Table.from_arrays(
+        [pa.array(cols[n], t) for n, t in
+         zip(FILLS_SCHEMA.names, FILLS_SCHEMA.types)],
+        schema=FILLS_SCHEMA)
+    merged = merge_fills_table(rewritten) \
+        .select(FILLS_SCHEMA.names).combine_chunks()
+
+    # nodes: canonical entities with merged-loser aliases (same block
+    # as materialize_graph)
+    from ..stages.canonicalize import _entity_id
+    from ..schemas import NODES_SCHEMA
+    aliases: dict[tuple, set] = {}
+    for (name, etype), rep in cmap.items():
+        aliases.setdefault((rep, etype), set())
+        if name != rep:
+            aliases[(rep, etype)].add(name)
+    node_rows = sorted(aliases)
+    nodes = pa.Table.from_arrays(
+        [pa.array([_entity_id(n, t) for n, t in node_rows], pa.string()),
+         pa.array([n for n, _ in node_rows], pa.string()),
+         pa.array([t for _, t in node_rows], pa.string()),
+         pa.array([sorted(aliases[k]) for k in node_rows],
+                  pa.list_(pa.string()))],
+        schema=NODES_SCHEMA)
+
+    import ray.data as rd
+    return nodes, rd.from_arrow(_to_edges(merged))
+
+
 def build_graph(consistent_fills):
-    """→ (nodes, edges). Below the ``SMALL_SURFACES`` gate nodes is a
-    driver-built ``pa.Table`` (the surface universe is tiny); above it
-    the fully distributed tier runs — blocking, components, root join,
-    representative pick, broadcast-free canonical rewrite — and nodes
+    """→ (nodes, edges). Three tiers by size: a ZERO-execution driver
+    tier when the consistent fills themselves are tiny (every fill
+    contributes ≤2 surfaces, so ``2·count ≤ SMALL_SURFACES`` bounds the
+    surface universe below the gate without computing it); the mid tier
+    (driver union-find over a distributed surface aggregate); and the
+    fully distributed tier — blocking, components, root join,
+    representative pick, broadcast-free canonical rewrite — where nodes
     is a Dataset too (nothing entity-universe-bounded on the driver).
     """
     from ..stages.canonicalize import (SMALL_SURFACES, _surface_table,
                                        canonical_map_ds,
                                        materialize_graph_ds)
+    consistent_fills = consistent_fills.materialize()
+    if 2 * consistent_fills.count() <= SMALL_SURFACES:
+        import ray
+
+        from ..schemas import FILLS_SCHEMA
+        blocks = [t for t in ray.get(consistent_fills.to_arrow_refs())
+                  if t.num_rows]
+        tbl = pa.concat_tables(blocks) if blocks else \
+            FILLS_SCHEMA.empty_table()
+        return _graph_driver_side(tbl.combine_chunks())
     surfaces = _surface_table(consistent_fills).materialize()
     if surfaces.count() <= SMALL_SURFACES:
         cmap, _w = canonical_map(consistent_fills, surfaces=surfaces)

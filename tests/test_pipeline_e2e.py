@@ -158,3 +158,37 @@ def test_merge_fills_table_equals_pandas_kernel():
          zip(cols, list(FILLS_SCHEMA.types) + [pa.float64()])],
         names=cols)
     assert got.equals(want_t)
+
+
+def test_graph_driver_tier_equals_mid_tier(ray_session):
+    """build_graph's zero-execution driver tier (fills tiny enough that
+    2·count bounds the surface universe below SMALL_SURFACES) produces
+    the same nodes and the same edges (scores compared at the round-9
+    resolution the surface aggregate documents) as the mid tier it
+    gates in front of."""
+    import stanford_relation_extractor_ray.pipelines.kg as kg
+    from stanford_relation_extractor_ray.stages.canonicalize import (
+        _surface_table)
+
+    cons = kg.finalize_fills(
+        kg.extract_fills(documents_dataset(150))).materialize()
+    nodes_fast, edges_fast = kg.build_graph(cons)
+
+    surfaces = _surface_table(cons).materialize()
+    cmap, _w = kg.canonical_map(cons, surfaces=surfaces)
+    nodes_mid, edges_mid = kg.materialize_graph(cons, cmap)
+
+    def nkey(d):
+        return (d["entity_id"], d["name"], d["type"],
+                tuple(d["aliases"]))
+
+    assert sorted(map(nkey, nodes_fast.to_pylist())) == \
+        sorted(map(nkey, nodes_mid.to_pylist()))
+
+    def ekey(r):
+        return tuple(round(v, 9) if isinstance(v, float) else v
+                     for v in r.values())
+
+    ef = sorted(ekey(r) for r in edges_fast.take_all())
+    em = sorted(ekey(r) for r in edges_mid.take_all())
+    assert ef == em and len(ef) > 100
